@@ -1,0 +1,221 @@
+"""Static configuration for the fvp_tpu framework.
+
+Design: a single frozen (hashable) dataclass holds everything that is
+compile-time constant for the jitted pipeline — capture-space geometry, voxel
+counts, heatmap sizes, decoder constants. Hashability lets the whole config
+ride through `jax.jit` as a static argument, so one compiled executable per
+(rig, config).
+
+The YAML schema intentionally mirrors the reference config layout
+(/root/reference/lib/core/config.py:15-144 and configs/*/jln64.yaml) so that a
+user of the reference can reuse their experiment files unchanged. Unknown keys
+raise, like the reference's strict overlay (config.py:167-171).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+import yaml
+
+
+def _t3(x: Sequence[float]) -> tuple[float, float, float]:
+    a, b, c = x
+    return (float(a), float(b), float(c))
+
+
+def _i3(x: Sequence[int]) -> tuple[int, int, int]:
+    a, b, c = x
+    return (int(a), int(b), int(c))
+
+
+def _t2(x: Sequence[float]) -> tuple[float, float]:
+    a, b = x
+    return (float(a), float(b))
+
+
+def _i2(x: Sequence[int]) -> tuple[int, int]:
+    a, b = x
+    return (int(a), int(b))
+
+
+@dataclass(frozen=True)
+class FVPConfig:
+    """All static hyper-parameters of the pipeline. Hashable; safe as a jit
+    static argument."""
+
+    # --- dataset geometry ------------------------------------------------
+    num_joints: int = 15
+    num_views: int = 5
+    # (w, h) conventions follow the reference YAMLs.
+    ori_image_size: tuple[int, int] = (1920, 1080)
+    image_size: tuple[int, int] = (960, 512)
+    heatmap_size: tuple[int, int] = (240, 128)
+    # root joint: int index or tuple of indices (averaged)
+    root_joint_id: tuple[int, ...] = (2,)
+
+    # --- capture space ---------------------------------------------------
+    space_size: tuple[float, float, float] = (8000.0, 8000.0, 2000.0)
+    space_center: tuple[float, float, float] = (0.0, -500.0, 800.0)
+    voxels_per_axis: tuple[int, int, int] = (80, 80, 20)
+    max_people: int = 10
+    min_score: float = 0.3
+
+    # --- per-person (individual) space -----------------------------------
+    ind_space_size: tuple[float, float, float] = (2000.0, 2000.0, 2000.0)
+    ind_voxels_per_axis: tuple[int, int, int] = (64, 64, 64)
+
+    # --- network ---------------------------------------------------------
+    beta: float = 100.0            # soft-argmax temperature
+    sigma: float = 3.0             # input-heatmap gaussian sigma (heatmap px)
+    num_channel_joint_feat: int = 32
+    num_channel_joint_hidden: int = 64
+    backbone: str = "resnet"       # '' to disable (heatmap-input datasets)
+    resnet_layers: int = 50
+    pretrained_backbone: str = ""
+
+    # --- training --------------------------------------------------------
+    train_dataset: str = "panoptic"
+    test_dataset: str = "panoptic"
+    train_heatmap_src: str = "image"   # image | gt | pred
+    test_heatmap_src: str = "image"
+    data_dir: str = ""
+    batch_size: int = 8
+    test_batch_size: int = 8
+    lr: float = 1e-4
+    begin_epoch: int = 0
+    end_epoch: int = 10
+    lambda_loss_2d: float = 1.0
+    lambda_loss_1d: float = 1.0
+    lambda_loss_bbox: float = 0.1
+    lambda_loss_fused: float = 5.0
+    accumulation_steps: int = 4    # HDN-loss gradient accumulation window
+    data_augmentation: bool = False
+
+    # --- synthetic data factory ------------------------------------------
+    synthetic_camera_file: str = ""
+    synthetic_pose_file: str = ""
+    synthetic_max_people: int = 10
+    synthetic_num_data: int = 10000
+    synthetic_augmentation: bool = True
+
+    # --- runtime ---------------------------------------------------------
+    output_dir: str = "output"
+    print_freq: int = 100
+    seed: int = 0
+
+    # ------------------------------------------------------------------
+    @property
+    def fine_voxels_per_axis(self) -> tuple[int, int, int]:
+        """Fine-grid axis counts: whole-space voxelization at the individual
+        cube's pitch (reference: project_individual.py:50)."""
+        return tuple(
+            int(ws / is_ * (v - 1)) + 1
+            for ws, is_, v in zip(
+                self.space_size, self.ind_space_size, self.ind_voxels_per_axis
+            )
+        )
+
+    @property
+    def num_bins(self) -> int:
+        vx, vy, vz = self.voxels_per_axis
+        return vx * vy * vz
+
+    def replace(self, **kw: Any) -> "FVPConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# YAML section -> (config attr, converter) mapping for the reference schema.
+def _apply_yaml(cfg_kw: dict[str, Any], doc: dict[str, Any]) -> None:
+    known_ignored = {"CUDNN", "HIGHER_HRNET", "DEVICE", "WORKERS", "MODEL",
+                     "LOG_DIR", "TEST"}
+
+    def take(section: dict, key: str, attr: str, conv=lambda x: x):
+        if key in section:
+            cfg_kw[attr] = conv(section.pop(key))
+
+    for sec_name, sec in list(doc.items()):
+        if sec_name == "DATASET":
+            take(sec, "NUM_JOINTS", "num_joints", int)
+            take(sec, "CAMERA_NUM", "num_views", int)
+            take(sec, "ORI_IMAGE_SIZE", "ori_image_size", _i2)
+            take(sec, "IMAGE_SIZE", "image_size", _i2)
+            take(sec, "HEATMAP_SIZE", "heatmap_size", _i2)
+            take(sec, "DATADIR", "data_dir", str)
+            take(sec, "TRAIN_DATASET", "train_dataset", str)
+            take(sec, "TEST_DATASET", "test_dataset", str)
+            take(sec, "TRAIN_HEATMAP_SRC", "train_heatmap_src", str)
+            take(sec, "TEST_HEATMAP_SRC", "test_heatmap_src", str)
+            take(sec, "DATA_AUGMENTATION", "data_augmentation", bool)
+            if "ROOT_JOINT_ID" in sec:
+                rid = sec.pop("ROOT_JOINT_ID")
+                cfg_kw["root_joint_id"] = (
+                    (int(rid),) if isinstance(rid, int)
+                    else tuple(int(r) for r in rid)
+                )
+            sec.pop("COLOR_RGB", None)
+            sec.pop("MEAN", None)
+            sec.pop("STD", None)
+        elif sec_name == "CAPTURE_SPEC":
+            take(sec, "SPACE_SIZE", "space_size", _t3)
+            take(sec, "SPACE_CENTER", "space_center", _t3)
+            take(sec, "VOXELS_PER_AXIS", "voxels_per_axis", _i3)
+            take(sec, "MAX_PEOPLE", "max_people", int)
+            take(sec, "MIN_SCORE", "min_score", float)
+        elif sec_name == "INDIVIDUAL_SPEC":
+            take(sec, "SPACE_SIZE", "ind_space_size", _t3)
+            take(sec, "VOXELS_PER_AXIS", "ind_voxels_per_axis", _i3)
+        elif sec_name == "NETWORK":
+            take(sec, "BETA", "beta", float)
+            take(sec, "SIGMA", "sigma", float)
+            take(sec, "NUM_CHANNEL_JOINT_FEAT", "num_channel_joint_feat", int)
+            take(sec, "NUM_CHANNEL_JOINT_HIDDEN", "num_channel_joint_hidden", int)
+            take(sec, "PRETRAINED_BACKBONE", "pretrained_backbone", str)
+        elif sec_name == "RESNET":
+            take(sec, "NUM_LAYERS", "resnet_layers", int)
+            for k in list(sec):
+                sec.pop(k)
+        elif sec_name == "TRAIN":
+            take(sec, "BATCH_SIZE", "batch_size", int)
+            take(sec, "LR", "lr", float)
+            take(sec, "BEGIN_EPOCH", "begin_epoch", int)
+            take(sec, "END_EPOCH", "end_epoch", int)
+            take(sec, "LAMBDA_LOSS_2D", "lambda_loss_2d", float)
+            take(sec, "LAMBDA_LOSS_1D", "lambda_loss_1d", float)
+            take(sec, "LAMBDA_LOSS_BBOX", "lambda_loss_bbox", float)
+            take(sec, "LAMBDA_LOSS_FUSED", "lambda_loss_fused", float)
+            for k in list(sec):
+                sec.pop(k)
+        elif sec_name == "SYNTHETIC":
+            take(sec, "CAMERA_FILE", "synthetic_camera_file", str)
+            take(sec, "POSE_FILE", "synthetic_pose_file", str)
+            take(sec, "MAX_PEOPLE", "synthetic_max_people", int)
+            take(sec, "NUM_DATA", "synthetic_num_data", int)
+            take(sec, "DATA_AUGMENTATION", "synthetic_augmentation", bool)
+        elif sec_name == "BACKBONE":
+            cfg_kw["backbone"] = str(sec)
+            continue
+        elif sec_name in ("OUTPUT_DIR",):
+            cfg_kw["output_dir"] = str(sec)
+            continue
+        elif sec_name == "PRINT_FREQ":
+            cfg_kw["print_freq"] = int(sec)
+            continue
+        elif sec_name in known_ignored:
+            continue
+        else:
+            raise ValueError(f"unknown config section {sec_name!r}")
+        if isinstance(sec, dict) and sec:
+            raise ValueError(f"unknown keys in {sec_name}: {sorted(sec)}")
+
+
+def load_config(path: str, **overrides: Any) -> FVPConfig:
+    """Load an FVPConfig from a reference-schema YAML file."""
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    kw: dict[str, Any] = {}
+    _apply_yaml(kw, doc)
+    kw.update(overrides)
+    return FVPConfig(**kw)
