@@ -1,0 +1,96 @@
+"""The four task networks: CenterNet (BEV center + bbox), C2CNet (1D height),
+P2PNet (tri-plane joint heatmaps), WeightNet (fusion weights).
+
+Behavioral reference: /root/reference/lib/models/cnns_2d.py:185-305,
+cnns_1d.py:182-242, weight_net.py:48-80. All operate channels-last.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from fvp_tpu.models.blocks import (
+    INIT, BasicBlock, EncoderDecoder, ResBlock, max_pool,
+)
+
+
+class CenterNet(nn.Module):
+    """BEV detector: input the whole-space volume (B, X, Y, Z, J); max over z
+    collapses to the bird's-eye view, then front convs + hourglass + two
+    heads -> (center heatmap (B, X, Y, 1), bbox sizes (B, X, Y, 2))."""
+    head_conv: int = 32
+
+    @nn.compact
+    def __call__(self, volume, train: bool = False):
+        x = jnp.max(volume, axis=3)                      # (B, X, Y, J)
+        x = BasicBlock(16, 7, dims=2)(x, train)
+        x = ResBlock(32, dims=2)(x, train)
+        x = EncoderDecoder(dims=2)(x, train)
+
+        hm = nn.Conv(self.head_conv, (3, 3), padding="SAME",
+                     kernel_init=INIT, bias_init=nn.initializers.zeros)(x)
+        hm = nn.relu(hm)
+        hm = nn.Conv(1, (1, 1), padding="VALID", kernel_init=INIT,
+                     bias_init=nn.initializers.zeros)(hm)
+
+        size = nn.Conv(self.head_conv, (3, 3), padding="SAME",
+                       kernel_init=INIT, bias_init=nn.initializers.zeros)(x)
+        size = nn.relu(size)
+        size = nn.Conv(2, (1, 1), padding="VALID", kernel_init=INIT,
+                       bias_init=nn.initializers.zeros)(size)
+        return hm, size
+
+
+class C2CNet(nn.Module):
+    """1D height regressor over per-proposal z-columns:
+    (N, Z, J) -> (N, Z) height heatmap."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = BasicBlock(16, 7, dims=1)(x, train)
+        x = ResBlock(32, dims=1)(x, train)
+        x = EncoderDecoder(dims=1)(x, train)
+        x = nn.Conv(1, (1,), padding="VALID", kernel_init=INIT,
+                    bias_init=nn.initializers.zeros)(x)
+        return x[..., 0]
+
+
+class P2PNet(nn.Module):
+    """Plane-to-pose net: (N, A, B, J) plane stacks -> per-joint plane
+    heatmaps (N, A, B, J)."""
+    num_joints: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = BasicBlock(16, 7, dims=2)(x, train)
+        x = ResBlock(32, dims=2)(x, train)
+        x = EncoderDecoder(dims=2)(x, train)
+        return nn.Conv(self.num_joints, (1, 1), padding="VALID",
+                       kernel_init=INIT,
+                       bias_init=nn.initializers.zeros)(x)
+
+
+class WeightNet(nn.Module):
+    """Per-(plane, person, joint) scalar fusion weight from each plane
+    heatmap: conv+BN+maxpool+ReLU -> global average pool -> 2-layer MLP ->
+    sigmoid (reference weight_net.py:55-80; note the reference never calls
+    its _initialize_weights, so default inits apply here too)."""
+    feat_channels: int = 32
+    hidden_channels: int = 64
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (N, A, B, J) plane heatmaps; one joint map per weight
+        n, a, b, j = x.shape
+        x = x.transpose(0, 3, 1, 2).reshape(n * j, a, b, 1)
+        x = nn.Conv(self.feat_channels, (3, 3), padding="SAME")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = max_pool(x, dims=2)
+        x = nn.relu(x)
+        x = jnp.mean(x, axis=(1, 2))                     # global avg pool
+        x = nn.Dense(self.hidden_channels)(x)
+        x = nn.relu(x)
+        x = nn.Dense(1)(x)
+        x = nn.sigmoid(x)
+        return x.reshape(n, j, 1)
