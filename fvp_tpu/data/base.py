@@ -1,0 +1,146 @@
+"""Dataset base: multi-view scene records -> fixed-shape numpy samples.
+
+Behavioral reference: /root/reference/lib/dataset/JointsDataset.py. Each
+record describes one synchronized multi-view frame; `sample()` produces
+padded, fixed-shape arrays ready to stack into device batches:
+
+  input_heatmaps (V, J, hm_h, hm_w)   [gt/pred heatmap sources]
+  targets: index/offset/bbox/2d/1d/mask (max_people-padded)
+  meta: num_person, joints_3d, joints_3d_vis, roots_3d, bbox
+
+The three heatmap sources mirror the reference (config.py:38-40):
+  'image' — raw views for the backbone (loaded by subclasses),
+  'gt'    — gaussians rendered at projected GT joints (mock backbone),
+  'pred'  — gaussians rendered at offline 2D detections.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Optional, Sequence
+
+import numpy as np
+
+from fvp_tpu.config import FVPConfig
+from fvp_tpu.data.heatmaps import generate_input_heatmap
+from fvp_tpu.data.targets import generate_target, root_center
+from fvp_tpu.geometry.cameras import CameraRig, project_points_np
+from fvp_tpu.geometry.transforms import affine_apply, get_resize_transform
+
+
+class PoseDataset:
+    def __init__(self, cfg: FVPConfig, is_train: bool):
+        self.cfg = cfg
+        self.is_train = is_train
+        self.heatmap_src = (cfg.train_heatmap_src if is_train
+                            else cfg.test_heatmap_src)
+        self.resize_transform = get_resize_transform(
+            cfg.ori_image_size, cfg.image_size)
+        # seq name -> CameraRig
+        self.rigs: dict[str, CameraRig] = {}
+        self.records: list[dict[str, Any]] = []
+        self.has_evaluate_function = False
+
+    # ------------------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def rig_for(self, seq: str) -> CameraRig:
+        return self.rigs[seq]
+
+    # ------------------------------------------------------------------
+    def _padded_meta(self, rec: Mapping[str, Any]) -> dict[str, np.ndarray]:
+        cfg = self.cfg
+        maxp, J = cfg.max_people, cfg.num_joints
+        joints = rec.get("joints_3d", [])
+        vis = rec.get("joints_3d_vis", [])
+        n = len(joints)
+        j3d = np.zeros((maxp, J, 3), np.float32)
+        jvis = np.zeros((maxp, J), np.float32)
+        for i in range(n):
+            j3d[i] = np.asarray(joints[i])[:, :3]
+            jvis[i] = np.asarray(vis[i])
+        roots = np.stack([root_center(j3d[i], cfg.root_joint_id)
+                          for i in range(maxp)])
+        return {
+            "num_person": np.int32(n),
+            "joints_3d": j3d,
+            "joints_3d_vis": jvis,
+            "roots_3d": roots.astype(np.float32),
+        }
+
+    # ------------------------------------------------------------------
+    def _render_gt_heatmaps(self, rec, rng) -> np.ndarray:
+        """Project GT joints into every view and render gaussians with the
+        reference's visibility logic (JointsDataset.py:229-258)."""
+        cfg = self.cfg
+        rig = self.rig_for(rec["seq"])
+        joints_3d = rec["joints_3d"]
+        joints_3d_vis = rec["joints_3d_vis"]
+        out = []
+        augment = self.is_train and cfg.synthetic_augmentation
+        for c in range(rig.num_cameras):
+            joints_2d, joints_vis = [], []
+            for n in range(len(joints_3d)):
+                pose = project_points_np(
+                    np.asarray(joints_3d[n], np.float64), rig.camera(c))
+                in_x = (pose[:, 0] >= 0) & (
+                    pose[:, 0] <= cfg.ori_image_size[0] - 1)
+                in_y = (pose[:, 1] >= 0) & (
+                    pose[:, 1] <= cfg.ori_image_size[1] - 1)
+                vis = (np.asarray(joints_3d_vis[n]) > 0).astype(np.float64)
+                vis[~(in_x & in_y)] = 0
+                pose = affine_apply(pose, self.resize_transform)
+                bad = ((pose.min(axis=1) < 0)
+                       | (pose[:, 0] >= cfg.image_size[0])
+                       | (pose[:, 1] >= cfg.image_size[1]))
+                vis[bad] = 0
+                joints_2d.append(pose)
+                joints_vis.append(vis)
+            out.append(generate_input_heatmap(
+                cfg, joints_2d, joints_vis=joints_vis, augment=augment,
+                rng=rng))
+        return np.stack(out)
+
+    def _render_pred_heatmaps(self, rec, rng) -> np.ndarray:
+        """Render heatmaps from offline per-view 2D predictions (already in
+        original-image coordinates)."""
+        cfg = self.cfg
+        out = []
+        for view_preds in rec["pred_pose2d"]:
+            mapped = [affine_apply(np.asarray(p)[:, :2],
+                                   self.resize_transform)
+                      for p in view_preds]
+            out.append(generate_input_heatmap(cfg, mapped, augment=False))
+        return np.stack(out)
+
+    # ------------------------------------------------------------------
+    def sample(self, idx: int,
+               rng: Optional[np.random.RandomState] = None) -> dict:
+        rng = rng or np.random.RandomState()
+        rec = self.records[idx]
+        out: dict[str, Any] = {"meta": self._padded_meta(rec)}
+
+        if "joints_3d" in rec:
+            target = generate_target(self.cfg, rec["joints_3d"],
+                                     rec["joints_3d_vis"])
+            out["meta"]["bbox"] = target["bbox"]
+            out["targets"] = {k: np.asarray(v) for k, v in target.items()}
+        else:
+            out["meta"]["bbox"] = np.zeros((self.cfg.max_people, 2),
+                                           np.float32)
+
+        if self.heatmap_src == "gt":
+            out["input_heatmaps"] = self._render_gt_heatmaps(rec, rng)
+        elif self.heatmap_src == "pred":
+            out["input_heatmaps"] = self._render_pred_heatmaps(rec, rng)
+        elif self.heatmap_src == "image":
+            out["images"] = self._load_images(rec)
+        else:
+            raise ValueError(self.heatmap_src)
+        return out
+
+    def _load_images(self, rec) -> np.ndarray:
+        raise NotImplementedError
+
+    def evaluate(self, all_fused_poses: np.ndarray):
+        raise NotImplementedError

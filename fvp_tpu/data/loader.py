@@ -1,0 +1,72 @@
+"""Host-side batch pipeline: sample -> collate -> prefetch.
+
+Replaces the reference's torch DataLoader worker pool (run/train.py:68-73)
+with a thread-pool prefetcher feeding fixed-shape numpy batches; device
+transfer happens inside jit dispatch. Heatmap rendering (the host hot loop)
+is accelerated by the native C++ renderer when built.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+def collate(samples: list[dict]) -> dict:
+    """Stack a list of sample dicts (one nesting level) into batch arrays."""
+    out: dict = {}
+    first = samples[0]
+    for k, v in first.items():
+        if isinstance(v, dict):
+            out[k] = {kk: np.stack([s[k][kk] for s in samples])
+                      for kk in v}
+        else:
+            out[k] = np.stack([s[k] for s in samples])
+    return out
+
+
+def batch_iterator(dataset, batch_size: int, shuffle: bool = False,
+                   seed: int = 0, drop_last: bool = False,
+                   epoch: int = 0) -> Iterator[dict]:
+    """Sequential batch iterator with per-epoch shuffling."""
+    n = len(dataset)
+    order = np.arange(n)
+    rng = np.random.RandomState(seed + epoch)
+    if shuffle:
+        rng.shuffle(order)
+    for start in range(0, n, batch_size):
+        idx = order[start:start + batch_size]
+        if drop_last and len(idx) < batch_size:
+            return
+        yield collate([dataset.sample(int(i), rng=rng) for i in idx])
+
+
+def prefetch(it: Iterator[dict], depth: int = 2,
+             num_threads: int = 4) -> Iterator[dict]:
+    """Run the iterator in a background thread with a bounded queue
+    (drop-nothing; training consumes every batch)."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as e:  # surfaced on the consumer side
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
