@@ -1,0 +1,113 @@
+"""End-to-end benchmark on real TPU hardware.
+
+Measures the flagship Panoptic configuration — 5 cameras, 960x512 working
+resolution, ResNet-50 backbone, full HDN+JLN pipeline, batch 1 (streaming
+latency shape) — and prints ONE JSON line:
+
+  {"metric": "e2e_fps_panoptic_5cam", "value": <fps>, "unit": "frames/s",
+   "vs_baseline": <fps / 31.1>}
+
+Baseline anchor: the reference repo publishes NO fps number (BASELINE.md);
+its runtime protocol (run/validate.py:116-150, CUDA-synced batch timing,
+warm-up excluded) is reproduced here with block_until_ready. 31.1 fps is the
+Faster-VoxelPose paper's reported end-to-end speed on its GPU setup and
+serves as the fixed comparison anchor until a measured reference baseline
+exists.
+
+Extra diagnostic timings (stage breakdown, batch-8 throughput) go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def time_fn(fn, *args, iters: int = 20, warmup: int = 3) -> float:
+    import jax
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from fvp_tpu.config import FVPConfig
+    from fvp_tpu.geometry.grids import build_rig_constants
+    from fvp_tpu.models.faster_voxelpose import FasterVoxelPose
+    from fvp_tpu.models.resnet import PoseResNet
+    from __graft_entry__ import _panoptic_rig
+
+    log(f"devices: {jax.devices()}")
+
+    cfg = FVPConfig()                       # Panoptic jln64 defaults
+    rig = _panoptic_rig(cfg.num_views, cfg)
+    rc = jax.tree_util.tree_map(jnp.asarray, build_rig_constants(cfg, rig))
+    model = FasterVoxelPose(cfg=cfg)
+    backbone = PoseResNet(num_joints=cfg.num_joints,
+                          num_layers=cfg.resnet_layers)
+
+    w, h = cfg.image_size
+    hm_w, hm_h = cfg.heatmap_size
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(1, cfg.num_views, h, w, 3)
+                         .astype(np.float32))
+    sample_hm = jnp.asarray(
+        rng.rand(1, cfg.num_views, cfg.num_joints, hm_h, hm_w)
+        .astype(np.float32))
+
+    key = jax.random.PRNGKey(0)
+    bb_vars = backbone.init(key, images[0], train=False)
+    variables = model.init(key, sample_hm, rc, train=False)
+
+    @jax.jit
+    def backbone_only(images):
+        B, V = images.shape[:2]
+        flat = images.reshape(B * V, *images.shape[2:])
+        return backbone.apply(bb_vars, flat, train=False)
+
+    @jax.jit
+    def pipeline_only(heatmaps):
+        return model.apply(variables, heatmaps, rc, train=False)[
+            "fused_poses"]
+
+    @jax.jit
+    def e2e(images):
+        B, V = images.shape[:2]
+        flat = images.reshape(B * V, *images.shape[2:])
+        hm = backbone.apply(bb_vars, flat, train=False)
+        heatmaps = hm.reshape(B, V, *hm.shape[1:]).transpose(0, 1, 4, 2, 3)
+        return model.apply(variables, heatmaps, rc, train=False)[
+            "fused_poses"]
+
+    t_bb = time_fn(backbone_only, images)
+    log(f"backbone (5 views, 960x512): {t_bb * 1000:.2f} ms")
+    t_pipe = time_fn(pipeline_only, sample_hm)
+    log(f"HDN+JLN pipeline: {t_pipe * 1000:.2f} ms")
+    t_e2e = time_fn(e2e, images)
+    fps = 1.0 / t_e2e
+    log(f"end-to-end: {t_e2e * 1000:.2f} ms  ({fps:.1f} fps)")
+
+    print(json.dumps({
+        "metric": "e2e_fps_panoptic_5cam",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 31.1, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -75,7 +75,10 @@ def create_train_state(cfg: FVPConfig, model: FasterVoxelPose, rc,
     )
 
 
-def make_train_step(cfg: FVPConfig, model: FasterVoxelPose):
+def make_train_step_fn(cfg: FVPConfig, model: FasterVoxelPose):
+    """The un-jitted train step (state, heatmaps, rc, targets, meta) ->
+    (new_state, losses); wrap with jax.jit (single device) or with mesh
+    shardings (fvp_tpu.parallel.sharding)."""
     hdn_tx, jln_tx = make_optimizers(cfg)
 
     def loss_fn(params, batch_stats, heatmaps, rc, targets, meta):
@@ -90,7 +93,6 @@ def make_train_step(cfg: FVPConfig, model: FasterVoxelPose):
         return hdn_total + losses["joint"], (losses,
                                              mutated["batch_stats"])
 
-    @jax.jit
     def train_step(state: TrainState, heatmaps, rc, targets, meta):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (losses, new_stats)), grads = grad_fn(
@@ -125,3 +127,8 @@ def make_train_step(cfg: FVPConfig, model: FasterVoxelPose):
         return new_state, losses
 
     return train_step
+
+
+def make_train_step(cfg: FVPConfig, model: FasterVoxelPose):
+    """Single-device jitted train step."""
+    return jax.jit(make_train_step_fn(cfg, model))

@@ -1,0 +1,90 @@
+"""Sharded train/eval steps: batch data-parallelism + camera-view
+parallelism over a ('data', 'view') mesh.
+
+Inputs are annotated with NamedShardings and the step is compiled under the
+mesh; XLA GSPMD partitions the per-view backbone/sampling work across the
+'view' axis and inserts the ICI collectives for the view-mean reduction
+(the psum replacing the reference's in-device mean at project_whole.py:162)
+and for any halo exchange of spatially-sharded convolutions.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fvp_tpu.config import FVPConfig
+from fvp_tpu.engine.train import make_train_step_fn
+from fvp_tpu.models.faster_voxelpose import FasterVoxelPose
+
+
+def _data_spec_tree(tree: Any) -> Any:
+    return jax.tree_util.tree_map(lambda _: P("data"), tree)
+
+
+def shard_batch(mesh: Mesh, batch: Any, spec: Any) -> Any:
+    """Device-put a pytree with matching PartitionSpecs."""
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), batch, spec)
+
+
+def make_sharded_train_step(cfg: FVPConfig, model: FasterVoxelPose,
+                            mesh: Mesh):
+    """Jitted train step with (data, view)-sharded heatmaps and
+    data-sharded targets/meta; state and rig constants replicated."""
+    step_fn = make_train_step_fn(cfg, model)
+    repl = NamedSharding(mesh, P())
+    hm_shard = NamedSharding(mesh, P("data", "view"))
+    data_shard = NamedSharding(mesh, P("data"))
+
+    def spec_of(tree, sharding):
+        return jax.tree_util.tree_map(lambda _: sharding, tree)
+
+    def sharded_step(state, heatmaps, rc, targets, meta):
+        return step_fn(state, heatmaps, rc, targets, meta)
+
+    def compiled(state, heatmaps, rc, targets, meta):
+        fn = jax.jit(
+            sharded_step,
+            in_shardings=(spec_of(state, repl), hm_shard, spec_of(rc, repl),
+                          spec_of(targets, data_shard),
+                          spec_of(meta, data_shard)),
+            out_shardings=(spec_of(state, repl), None),
+        )
+        return fn(state, heatmaps, rc, targets, meta)
+
+    return compiled
+
+
+def make_sharded_eval_step(cfg: FVPConfig, model: FasterVoxelPose,
+                           mesh: Mesh, backbone=None, backbone_vars=None):
+    repl = NamedSharding(mesh, P())
+    in_shard = NamedSharding(mesh, P("data", "view"))
+
+    def fwd(variables, batch_input, rc):
+        if backbone is not None:
+            B, V = batch_input.shape[:2]
+            flat = batch_input.reshape(B * V, *batch_input.shape[2:])
+            hm = backbone.apply(backbone_vars, flat, train=False)
+            heatmaps = hm.reshape(B, V, *hm.shape[1:]).transpose(
+                0, 1, 4, 2, 3)
+        else:
+            heatmaps = batch_input
+        return model.apply(variables, heatmaps, rc, train=False)[
+            "fused_poses"]
+
+    def spec_of(tree, sharding):
+        return jax.tree_util.tree_map(lambda _: sharding, tree)
+
+    def compiled(variables, batch_input, rc):
+        fn = jax.jit(
+            fwd,
+            in_shardings=(spec_of(variables, repl), in_shard,
+                          spec_of(rc, repl)),
+            out_shardings=NamedSharding(mesh, P("data")),
+        )
+        return fn(variables, batch_input, rc)
+
+    return compiled

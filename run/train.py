@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Train CLI: `python run/train.py --cfg configs/shelf/jln64.yaml`.
+
+Behavioral reference: /root/reference/run/train.py — config overlay, logger,
+datasets, model + optional frozen backbone, per-epoch validate with
+best-checkpoint tracking, resume support. Batches are grouped by sequence so
+each jitted step sees a single camera rig (the rig constants are step
+inputs, so all sequences share one compiled executable).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fvp_tpu.config import load_config
+from fvp_tpu.data.loader import collate, prefetch
+from fvp_tpu.data.registry import build_dataset
+from fvp_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
+from fvp_tpu.engine.train import create_train_state, make_train_step
+from fvp_tpu.engine.validate import run_validation
+from fvp_tpu.geometry.grids import build_rig_constants
+from fvp_tpu.models.faster_voxelpose import FasterVoxelPose
+from fvp_tpu.models.resnet import PoseResNet
+from fvp_tpu.utils.logging import AverageMeter, MetricWriter, create_logger
+
+
+def seq_grouped_batches(dataset, batch_size, seed, epoch):
+    """Yield (seq, batch) with every batch drawn from a single sequence."""
+    rng = np.random.RandomState(seed + epoch)
+    by_seq: dict[str, list[int]] = {}
+    for i, rec in enumerate(dataset.records):
+        by_seq.setdefault(rec["seq"], []).append(i)
+    chunks = []
+    for seq, idxs in by_seq.items():
+        idxs = np.asarray(idxs)
+        rng.shuffle(idxs)
+        for s in range(0, len(idxs), batch_size):
+            chunk = idxs[s:s + batch_size]
+            if len(chunk) == batch_size:       # fixed shapes: drop remainder
+                chunks.append((seq, chunk))
+    order = rng.permutation(len(chunks))
+    for ci in order:
+        seq, idxs = chunks[ci]
+        yield seq, collate([dataset.sample(int(i), rng=rng) for i in idxs])
+
+
+def load_backbone(cfg):
+    if not cfg.pretrained_backbone:
+        return None, None
+    backbone = PoseResNet(num_joints=cfg.num_joints,
+                          num_layers=cfg.resnet_layers)
+    path = cfg.pretrained_backbone
+    if path.endswith((".pth", ".tar")):
+        import torch
+
+        from fvp_tpu.models.resnet import convert_torch_state
+        state = torch.load(path, map_location="cpu", weights_only=False)
+        state = {k: v.numpy() for k, v in state.items()}
+        variables = convert_torch_state(state, num_layers=cfg.resnet_layers)
+    else:
+        import pickle
+
+        with open(path, "rb") as f:
+            variables = pickle.load(f)
+    return backbone, variables
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", required=True)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--epochs", type=int, default=None)
+    args = parser.parse_args()
+
+    cfg = load_config(args.cfg)
+    if args.epochs is not None:
+        cfg = cfg.replace(end_epoch=args.epochs)
+    cfg_name = os.path.splitext(os.path.basename(args.cfg))[0]
+    logger, out_dir = create_logger(cfg.output_dir, cfg_name, "train")
+    writer = MetricWriter(out_dir)
+    logger.info(f"config: {cfg}")
+    logger.info(f"devices: {jax.devices()}")
+
+    train_ds = build_dataset(cfg.train_dataset, cfg, is_train=True)
+    test_ds = build_dataset(cfg.test_dataset, cfg, is_train=False)
+    logger.info(f"train: {len(train_ds)} frames, test: {len(test_ds)}")
+
+    backbone, backbone_vars = load_backbone(cfg)
+    model = FasterVoxelPose(cfg=cfg)
+
+    # rig constants per sequence (device-resident, same shapes => one jit)
+    rcs = {seq: jax.tree_util.tree_map(
+        jnp.asarray, build_rig_constants(cfg, rig))
+        for seq, rig in train_ds.rigs.items()}
+
+    hm_w, hm_h = cfg.heatmap_size
+    sample_hm = jnp.zeros(
+        (cfg.batch_size, cfg.num_views, cfg.num_joints, hm_h, hm_w),
+        jnp.float32)
+    any_rc = next(iter(rcs.values()))
+    state = create_train_state(cfg, model, any_rc, sample_hm,
+                               jax.random.PRNGKey(cfg.seed))
+    start_epoch, best = cfg.begin_epoch, -np.inf
+    if args.resume:
+        restored = load_checkpoint(out_dir, state)
+        if restored:
+            state, start_epoch, best = restored
+            logger.info(f"resumed from epoch {start_epoch}")
+
+    step_fn = make_train_step(cfg, model)
+    eval_step_every = max(len(train_ds) // cfg.batch_size, 1)
+
+    for epoch in range(start_epoch, cfg.end_epoch):
+        meters = {k: AverageMeter() for k in
+                  ("total", "2d_heatmaps", "1d_heatmaps", "bbox", "joint",
+                   "batch_time")}
+        it = prefetch(iter(seq_grouped_batches(
+            train_ds, cfg.batch_size, cfg.seed, epoch)))
+        t_end = time.perf_counter()
+        for i, (seq, batch) in enumerate(it):
+            heatmaps = jnp.asarray(batch["input_heatmaps"])
+            targets = jax.tree_util.tree_map(jnp.asarray, batch["targets"])
+            meta = jax.tree_util.tree_map(jnp.asarray, batch["meta"])
+            state, losses = step_fn(state, heatmaps, rcs[seq], targets, meta)
+
+            if i % cfg.print_freq == 0:
+                losses = {k: float(v) for k, v in losses.items()}
+                for k in ("total", "2d_heatmaps", "1d_heatmaps", "bbox",
+                          "joint"):
+                    meters[k].update(losses[k])
+                dt = time.perf_counter() - t_end
+                meters["batch_time"].update(dt / max(i, 1) if i else dt)
+                logger.info(
+                    f"epoch {epoch} [{i}/{eval_step_every}] "
+                    f"loss {losses['total']:.5f} "
+                    f"(2d {losses['2d_heatmaps']:.5f} "
+                    f"1d {losses['1d_heatmaps']:.5f} "
+                    f"bbox {losses['bbox']:.5f} "
+                    f"joint {losses['joint']:.5f})")
+                writer.add_scalars(int(state.step), **{
+                    f"train_loss_{k}": losses[k]
+                    for k in ("total", "2d_heatmaps", "1d_heatmaps",
+                              "bbox", "joint")})
+
+        is_best = True
+        if getattr(test_ds, "has_evaluate_function", False):
+            test_rcs = {seq: jax.tree_util.tree_map(
+                jnp.asarray, build_rig_constants(cfg, rig))
+                for seq, rig in test_ds.rigs.items()}
+            rc_eval = next(iter(test_rcs.values()))
+            res = run_validation(
+                cfg, model,
+                {"params": state.params, "batch_stats": state.batch_stats},
+                test_ds, rc_eval, backbone=backbone,
+                backbone_vars=backbone_vars, log=logger.info)
+            metrics = res.get("metrics", {})
+            logger.info(f"epoch {epoch} metrics: {metrics}")
+            score = metrics.get("mean_ap", metrics.get("avg_pcp", 0.0))
+            is_best = score >= best
+            best = max(best, score)
+            writer.add_scalars(int(state.step), eval_score=score)
+
+        save_checkpoint(out_dir, state, epoch + 1, best, is_best=is_best)
+        logger.info(f"saved checkpoint (best={is_best})")
+
+
+if __name__ == "__main__":
+    main()

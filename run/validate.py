@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Validate CLI: `python run/validate.py --cfg configs/shelf/jln64.yaml
+[--checkpoint output/jln64/model_best.pkl]`.
+
+Behavioral reference: /root/reference/run/validate.py — load best weights,
+timed no-grad loop with device sync, FPS stats excluding warm-up, final
+dataset evaluation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from fvp_tpu.config import load_config
+from fvp_tpu.data.registry import build_dataset
+from fvp_tpu.engine.validate import run_validation
+from fvp_tpu.geometry.grids import build_rig_constants
+from fvp_tpu.models.faster_voxelpose import FasterVoxelPose
+from fvp_tpu.utils.logging import create_logger
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", required=True)
+    parser.add_argument("--checkpoint", default=None,
+                        help="model_best.pkl from training")
+    args = parser.parse_args()
+
+    cfg = load_config(args.cfg)
+    cfg_name = os.path.splitext(os.path.basename(args.cfg))[0]
+    logger, out_dir = create_logger(cfg.output_dir, cfg_name, "validate")
+
+    test_ds = build_dataset(cfg.test_dataset, cfg, is_train=False)
+    logger.info(f"test: {len(test_ds)} frames")
+    model = FasterVoxelPose(cfg=cfg)
+
+    from run.train import load_backbone
+    backbone, backbone_vars = load_backbone(cfg)
+
+    rcs = {seq: jax.tree_util.tree_map(
+        jnp.asarray, build_rig_constants(cfg, rig))
+        for seq, rig in test_ds.rigs.items()}
+    rc = next(iter(rcs.values()))
+
+    ckpt_path = args.checkpoint or os.path.join(out_dir, "model_best.pkl")
+    hm_w, hm_h = cfg.heatmap_size
+    sample = jnp.zeros((1, cfg.num_views, cfg.num_joints, hm_h, hm_w),
+                       jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), sample, rc, train=False)
+    if os.path.exists(ckpt_path):
+        from flax import serialization
+
+        with open(ckpt_path, "rb") as f:
+            payload = pickle.load(f)
+        params = serialization.from_bytes(variables["params"],
+                                          payload["params"])
+        variables = {**variables, "params": params}
+        logger.info(f"loaded {ckpt_path}")
+    else:
+        logger.warning(f"no checkpoint at {ckpt_path}; random weights")
+
+    res = run_validation(cfg, model, variables, test_ds, rc,
+                         backbone=backbone, backbone_vars=backbone_vars,
+                         log=logger.info)
+    if "fps" in res:
+        logger.info(f"FPS (warm-up excluded): {res['fps']:.2f}  "
+                    f"batch ms: {res['batch_ms']}")
+    if "metrics" in res:
+        logger.info(f"metrics: {res['metrics']}")
+
+
+if __name__ == "__main__":
+    main()

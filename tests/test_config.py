@@ -1,0 +1,55 @@
+"""Config loading: our YAMLs and the reference's own experiment files must
+both produce the expected static config."""
+
+import os
+
+import pytest
+
+from fvp_tpu.config import FVPConfig, load_config
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_load_panoptic_yaml():
+    cfg = load_config(os.path.join(HERE, "configs/panoptic/jln64.yaml"))
+    assert cfg.num_views == 5
+    assert cfg.space_size == (8000.0, 8000.0, 2000.0)
+    assert cfg.space_center == (0.0, -500.0, 800.0)
+    assert cfg.voxels_per_axis == (80, 80, 20)
+    assert cfg.heatmap_size == (240, 128)
+    assert cfg.min_score == 0.3
+    assert cfg.root_joint_id == (2,)
+    assert cfg.fine_voxels_per_axis == (253, 253, 64)
+    hash(cfg)   # must stay hashable (jit static arg)
+
+
+def test_load_shelf_yaml():
+    cfg = load_config(os.path.join(HERE, "configs/shelf/jln64.yaml"))
+    assert cfg.num_joints == 17
+    assert cfg.root_joint_id == (11, 12)
+    assert cfg.train_dataset == "synthetic"
+    assert cfg.test_heatmap_src == "pred"
+    assert cfg.ori_image_size == (1032, 776)
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/configs/campus/jln64.yaml"),
+    reason="reference repo not mounted")
+def test_load_reference_yaml_directly():
+    cfg = load_config("/root/reference/configs/campus/jln64.yaml")
+    assert cfg.num_views == 3
+    assert cfg.space_size == (12000.0, 12000.0, 2000.0)
+    assert cfg.synthetic_max_people == 5
+    assert cfg.sigma == 4.0
+
+
+def test_override_kwargs():
+    cfg = load_config(os.path.join(HERE, "configs/panoptic/jln64.yaml"),
+                      batch_size=2, max_people=4)
+    assert cfg.batch_size == 2 and cfg.max_people == 4
+
+
+def test_defaults_roundtrip():
+    cfg = FVPConfig()
+    cfg2 = cfg.replace(num_views=3)
+    assert cfg2.num_views == 3 and cfg.num_views == 5
