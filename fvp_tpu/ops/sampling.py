@@ -169,11 +169,20 @@ def sample_person_cubes(heatmaps: jax.Array, rc: RigConstants,
 
     heatmaps: (V, J, H, W); centers_mm: (P, 3); bbox: (P, 2) size fractions.
     Returns (cubes (P, X, Y, Z, J), offset (P, 3)).
+
+    People are processed under lax.scan (sequential) rather than vmap: the
+    fully-vmapped gather materializes a (P*V*64^3, J) buffer whose J-minor
+    layout pads 8.5x on TPU (observed 25 GB of HBM temp for P=10, V=5).
+    Sequential people bound the live set to one person's (J, 64^3) samples,
+    which XLA lays out with the long axis minor (no padding blowup).
     """
     corner, offset = snap_centers(centers_mm, cfg)
-    cubes = jax.vmap(
-        lambda ctl, bb: _sample_one_person(heatmaps, rc, cfg, ctl, bb)
-    )(corner, bbox)
+
+    def body(carry, args):
+        ctl, bb = args
+        return carry, _sample_one_person(heatmaps, rc, cfg, ctl, bb)
+
+    _, cubes = jax.lax.scan(body, None, (corner, bbox))
     return cubes, offset
 
 

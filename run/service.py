@@ -1,0 +1,50 @@
+#!/usr/bin/env python
+"""Streaming service CLI.
+
+`python run/service.py --cfg configs/panoptic/jln64.yaml --rtsp_url rtsp://...`
+(omit --rtsp_url for the synthetic test source).
+
+Behavioral reference: /root/reference/run/service.py:156-178 (arg surface)
+and :720-827 (process topology). See fvp_tpu/service/pipeline.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fvp_tpu.service.pipeline import ServiceConfig, run_service
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", default="")
+    parser.add_argument("--rtsp_url", default="")
+    parser.add_argument("--checkpoint", default="")
+    parser.add_argument("--num_views", type=int, default=4)
+    parser.add_argument("--max_frames", type=int, default=None)
+    parser.add_argument("--fps", type=float, default=30.0)
+    args = parser.parse_args()
+
+    def on_result(res):
+        print(f"[{res['timestamp']:.2f}] "
+              f"{int((res['poses'][:, 0, 3] >= 0).sum())} people, "
+              f"latency {res['latency_ms']:.1f} ms, fps {res['fps']:.1f}",
+              flush=True)
+
+    run_service(ServiceConfig(
+        cfg_path=args.cfg,
+        rtsp_url=args.rtsp_url,
+        checkpoint=args.checkpoint,
+        num_views=args.num_views,
+        target_fps=args.fps,
+        max_frames=args.max_frames,
+        on_result=on_result,
+    ))
+
+
+if __name__ == "__main__":
+    main()
