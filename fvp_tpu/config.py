@@ -105,6 +105,9 @@ class FVPConfig:
     output_dir: str = "output"
     print_freq: int = 100
     seed: int = 0
+    # voxel sampling implementation: 'auto' (Pallas MXU kernel on TPU,
+    # exact XLA gather elsewhere), 'pallas', or 'exact'
+    sampling_backend: str = "auto"
 
     # ------------------------------------------------------------------
     @property

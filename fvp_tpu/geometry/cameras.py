@@ -92,15 +92,29 @@ def _distort(yx, yy, k, p):
     return u, v
 
 
+def project_points_uv(px, py, pz, R, T, f, c, k, p):
+    """Project world points given as separate (N,) coordinate arrays ->
+    (u (N,), v (N,)) pixels.
+
+    TPU layout note: this structure-of-arrays form is the on-device fast
+    path — any array with a minor dimension of 2 gets lane-padded 64x on
+    TPU, which made the (N, 2) formulation ~50x slower than the math costs.
+    """
+    wx, wy, wz = px - T[0], py - T[1], pz - T[2]
+    xc = R[0, 0] * wx + R[0, 1] * wy + R[0, 2] * wz
+    yc = R[1, 0] * wx + R[1, 1] * wy + R[1, 2] * wz
+    zc = R[2, 0] * wx + R[2, 1] * wy + R[2, 2] * wz + 1e-5
+    yx = xc / zc
+    yy = yc / zc
+    u, v = _distort(yx, yy, k, p)
+    return f[0] * u + c[0], f[1] * v + c[1]
+
+
 def project_points(points, R, T, f, c, k, p):
     """Project world points (..., 3) through one camera -> pixel (..., 2)."""
-    xcam = (points - T) @ R.T              # (..., 3) in camera frame
-    z = xcam[..., 2] + 1e-5
-    yx = xcam[..., 0] / z
-    yy = xcam[..., 1] / z
-    u, v = _distort(yx, yy, k, p)
-    pix = jnp.stack([u, v], axis=-1) * f + c
-    return pix
+    u, v = project_points_uv(points[..., 0], points[..., 1], points[..., 2],
+                             R, T, f, c, k, p)
+    return jnp.stack([u, v], axis=-1)
 
 
 def project_points_rig(points, rig: CameraRig):

@@ -81,12 +81,28 @@ def to_sample_px(xy_ori, cfg: FVPConfig, hm_t, xp=np):
     return (g + 1.0) * 0.5 * wh1
 
 
+def to_sample_px_uv(u, v, cfg: FVPConfig, hm_t, xp=np):
+    """Structure-of-arrays variant of `to_sample_px` for the on-device path:
+    (u (N,), v (N,)) -> (px (N,), py (N,)). Avoids (N, 2)-shaped arrays,
+    whose minor-dim-2 layout pads 64x on TPU."""
+    bound = float(max(cfg.ori_image_size))
+    w, h = cfg.heatmap_size
+    u = xp.clip(u, -1.0, bound)
+    v = xp.clip(v, -1.0, bound)
+    x = hm_t[0, 0] * u + hm_t[0, 1] * v + hm_t[0, 2]
+    y = hm_t[1, 0] * u + hm_t[1, 1] * v + hm_t[1, 2]
+    gx = xp.clip(x / (w - 1.0) * 2.0 - 1.0, -1.1, 1.1)
+    gy = xp.clip(y / (h - 1.0) * 2.0 - 1.0, -1.1, 1.1)
+    return (gx + 1.0) * 0.5 * (w - 1.0), (gy + 1.0) * 0.5 * (h - 1.0)
+
+
 @jax.tree_util.register_dataclass
 @dataclass
 class RigConstants:
     """Device-resident constants for one camera rig + capture space.
 
-    whole_sample_px: (V, num_bins, 2) heatmap-pixel sampling coords of every
+    whole_sample_px: (V, 2, num_bins) heatmap-pixel sampling coords (x, y
+                     as separate rows — TPU lane-padding avoidance) of every
                      coarse voxel center in every view.
     center_grid:     (3, ind_nx*ind_ny, 2) plane mm-coordinate grids.
     rig:             CameraRig (f32) for the on-the-fly per-person path.
@@ -106,9 +122,9 @@ def build_rig_constants(cfg: FVPConfig, rig: CameraRig) -> RigConstants:
         to_sample_px(
             project_points_np(grid, rig.camera(v)).astype(np.float32),
             cfg, hm_t.astype(np.float32),
-        )
+        ).T
         for v in range(rig.num_cameras)
-    ])
+    ])                                     # (V, 2, num_bins)
     return RigConstants(
         whole_sample_px=sample_px.astype(np.float32),
         center_grid=center_grids(cfg).astype(np.float32),

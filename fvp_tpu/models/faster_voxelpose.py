@@ -37,6 +37,17 @@ from fvp_tpu.ops.sampling import (
 from fvp_tpu.ops.softargmax import soft_argmax
 
 
+def use_pallas_sampling(cfg: FVPConfig) -> bool:
+    """Resolve the sampling backend: the Pallas MXU kernel on TPU (the
+    gather path runs at DMA latency there — see ops/pallas/sampler.py),
+    the exact XLA-gather path elsewhere."""
+    if cfg.sampling_backend == "pallas":
+        return True
+    if cfg.sampling_backend == "exact":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def voxel_to_mm(cfg: FVPConfig):
     """Coarse voxel index -> world mm affine (human_detection_net.py:36-37)."""
     import numpy as np
@@ -98,7 +109,11 @@ class FasterVoxelPose(nn.Module):
         K = cfg.max_people
         nx, ny, nz = cfg.voxels_per_axis
 
-        volumes = jax.vmap(lambda h: project_whole(h, rc, cfg))(heatmaps)
+        if use_pallas_sampling(cfg):
+            from fvp_tpu.ops.fast_sampling import project_whole_pallas_batched
+            volumes = project_whole_pallas_batched(heatmaps, rc, cfg)
+        else:
+            volumes = jax.vmap(lambda h: project_whole(h, rc, cfg))(heatmaps)
         hm2d, bbox_map = self.center_net(volumes, train)     # (B,X,Y,1),(B,X,Y,2)
 
         confs2d, xy, flat = jax.vmap(
@@ -162,10 +177,18 @@ class FasterVoxelPose(nn.Module):
         proposals = jax.lax.stop_gradient(proposals)
         centers = proposals[..., 0:3]
         bbox = proposals[..., 5:7]
+        person_mask = proposals[..., 3] >= 0
 
-        cubes, offsets = jax.vmap(
-            lambda h, c, b: sample_person_cubes(h, rc, cfg, c, b)
-        )(heatmaps, centers, bbox)
+        if use_pallas_sampling(cfg):
+            from fvp_tpu.ops.fast_sampling import (
+                sample_person_cubes_pallas_batched,
+            )
+            cubes, offsets = sample_person_cubes_pallas_batched(
+                heatmaps, rc, cfg, centers, bbox, person_mask=person_mask)
+        else:
+            cubes, offsets = jax.vmap(
+                lambda h, c, b: sample_person_cubes(h, rc, cfg, c, b)
+            )(heatmaps, centers, bbox)
         # cubes: (B, K, X, Y, Z, J); offsets: (B, K, 3)
 
         planes = collapse_planes(

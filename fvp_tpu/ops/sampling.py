@@ -29,18 +29,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from fvp_tpu.config import FVPConfig
-from fvp_tpu.geometry.cameras import project_points
-from fvp_tpu.geometry.grids import RigConstants, to_sample_px
+from fvp_tpu.geometry.cameras import project_points_uv
+from fvp_tpu.geometry.grids import RigConstants, to_sample_px_uv
 
 
-def bilinear_sample(heatmap: jax.Array, px: jax.Array) -> jax.Array:
-    """Sample a (J, H, W) heatmap at (N, 2) pixel coords -> (J, N).
+def bilinear_sample(heatmap: jax.Array, x: jax.Array,
+                    y: jax.Array) -> jax.Array:
+    """Sample a (J, H, W) heatmap at pixel coords x (N,), y (N,) -> (J, N).
 
     align_corners pixel space: coordinate (x, y) = pixel center (x, y).
     Out-of-bounds corners contribute zero (torch zero-padding semantics).
+    Coordinates are separate arrays (not (N, 2)) — see project_points_uv's
+    TPU layout note.
     """
     J, H, W = heatmap.shape
-    x, y = px[:, 0], px[:, 1]
+    # CRITICAL TPU perf barrier: if XLA fuses upstream coordinate math into
+    # the gather's fusion, the gather falls off its fast path (measured
+    # 38 ms vs 0.05 ms for one person cube's samples). Materializing the
+    # coordinates keeps the four corner gathers on the fast standalone path.
+    x, y = jax.lax.optimization_barrier((x, y))
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     wx1 = x - x0
@@ -71,7 +78,9 @@ def project_whole(heatmaps: jax.Array, rc: RigConstants,
     The mean over views is an associative reduction — under view sharding it
     becomes a `psum` over the view mesh axis (see fvp_tpu/parallel/).
     """
-    sampled = jax.vmap(bilinear_sample)(heatmaps, rc.whole_sample_px)
+    sampled = jax.vmap(
+        lambda hm, px: bilinear_sample(hm, px[0], px[1])
+    )(heatmaps, rc.whole_sample_px)
     volume = jnp.mean(sampled, axis=0)               # (J, nbins)
     volume = jnp.clip(volume, 0.0, 1.0)
     nx, ny, nz = cfg.voxels_per_axis
@@ -113,8 +122,9 @@ def _person_validity(corner: jax.Array, bbox: jax.Array, cfg: FVPConfig):
     return start, end, alive
 
 
-def _cube_positions(corner: jax.Array, cfg: FVPConfig):
-    """World-mm positions (X, Y, Z, 3) of one person's cube voxels."""
+def _cube_positions_uv(corner: jax.Array, cfg: FVPConfig):
+    """World-mm positions of one person's cube voxels as three flattened
+    (N,) coordinate arrays (x, y, z), N = X*Y*Z."""
     nx, ny, nz = cfg.ind_voxels_per_axis
     space = np.asarray(cfg.space_size, np.float32)
     centr = np.asarray(cfg.space_center, np.float32)
@@ -124,12 +134,13 @@ def _cube_positions(corner: jax.Array, cfg: FVPConfig):
     jx = jnp.arange(nx, dtype=jnp.float32)
     jy = jnp.arange(ny, dtype=jnp.float32)
     jz = jnp.arange(nz, dtype=jnp.float32)
-    px = origin[0] + (corner[0] + jx) * pitch[0]
-    py = origin[1] + (corner[1] + jy) * pitch[1]
-    pz = origin[2] + (corner[2] + jz) * pitch[2]
-    return (px[:, None, None, None] * jnp.asarray([1.0, 0.0, 0.0])
-            + py[None, :, None, None] * jnp.asarray([0.0, 1.0, 0.0])
-            + pz[None, None, :, None] * jnp.asarray([0.0, 0.0, 1.0]))
+    ax = origin[0] + (corner[0] + jx) * pitch[0]
+    ay = origin[1] + (corner[1] + jy) * pitch[1]
+    az = origin[2] + (corner[2] + jz) * pitch[2]
+    px = jnp.broadcast_to(ax[:, None, None], (nx, ny, nz)).reshape(-1)
+    py = jnp.broadcast_to(ay[None, :, None], (nx, ny, nz)).reshape(-1)
+    pz = jnp.broadcast_to(az[None, None, :], (nx, ny, nz)).reshape(-1)
+    return px, py, pz
 
 
 def _sample_one_person(heatmaps, rc: RigConstants, cfg: FVPConfig,
@@ -139,12 +150,12 @@ def _sample_one_person(heatmaps, rc: RigConstants, cfg: FVPConfig,
     nx, ny, nz = cfg.ind_voxels_per_axis
     start, end, alive = _person_validity(corner, bbox, cfg)
 
-    pos = _cube_positions(corner, cfg).reshape(-1, 3)      # (N, 3)
+    px, py, pz = _cube_positions_uv(corner, cfg)            # (N,) each
 
     def view_sample(R, T, f, c, k, p, hm):
-        pix = project_points(pos, R, T, f, c, k, p)
-        spx = to_sample_px(pix, cfg, rc.hm_transform, xp=jnp)
-        return bilinear_sample(hm, spx)                     # (J, N)
+        u, v = project_points_uv(px, py, pz, R, T, f, c, k, p)
+        sx, sy = to_sample_px_uv(u, v, cfg, rc.hm_transform, xp=jnp)
+        return bilinear_sample(hm, sx, sy)                  # (J, N)
 
     rig = rc.rig
     sampled = jax.vmap(view_sample)(rig.R, rig.T, rig.f, rig.c, rig.k,

@@ -1,0 +1,63 @@
+"""Pallas MXU sampler parity (interpret mode on CPU) vs the exact gather
+implementation (which is torch-grid_sample-parity-tested)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fvp_tpu.geometry.grids import build_rig_constants
+from fvp_tpu.ops.fast_sampling import (
+    project_whole_pallas_batched,
+    sample_person_cubes_pallas_batched,
+)
+from fvp_tpu.ops.sampling import project_whole, sample_person_cubes
+from tests.helpers import random_rig, tiny_config
+
+
+def test_person_cubes_pallas_matches_exact(rng):
+    cfg = tiny_config(num_views=2, ind_voxels_per_axis=(16, 16, 16),
+                      max_people=3)
+    rig = random_rig(rng, num_views=2)
+    rc = build_rig_constants(cfg, rig)
+    w, h = cfg.heatmap_size
+    hm = jnp.asarray(rng.rand(2, 2, cfg.num_joints, h, w).astype(np.float32))
+    centers = jnp.asarray(np.stack([
+        rng.uniform(-2000, 2000, (2, 3)),
+        rng.uniform(-2500, 2000, (2, 3)),
+        rng.uniform(400, 1400, (2, 3)),
+    ], -1).astype(np.float32))
+    bbox = jnp.asarray(rng.uniform(0.3, 0.9, (2, 3, 2)).astype(np.float32))
+    mask = jnp.asarray(np.array([[True, True, False],
+                                 [True, False, True]]))
+
+    fast, off_f = sample_person_cubes_pallas_batched(
+        hm, rc, cfg, centers, bbox, person_mask=mask,
+        tile=(2, 2, 2), band_height=40, interpret=True)
+
+    for b in range(2):
+        exact, off_e = sample_person_cubes(hm[b], rc, cfg, centers[b],
+                                           bbox[b])
+        np.testing.assert_allclose(np.asarray(off_f[b]), np.asarray(off_e),
+                                   atol=1e-4)
+        for k in range(3):
+            if bool(mask[b, k]):
+                np.testing.assert_allclose(
+                    np.asarray(fast[b, k]), np.asarray(exact[k]), atol=5e-5)
+            else:
+                np.testing.assert_allclose(np.asarray(fast[b, k]), 0.0,
+                                           atol=1e-7)
+
+
+def test_project_whole_pallas_matches_exact(rng):
+    cfg = tiny_config(num_views=2, voxels_per_axis=(16, 16, 8))
+    rig = random_rig(rng, num_views=2)
+    rc = build_rig_constants(cfg, rig)
+    w, h = cfg.heatmap_size
+    hm = jnp.asarray(rng.rand(2, 2, cfg.num_joints, h, w).astype(np.float32))
+
+    fast = project_whole_pallas_batched(hm, rc, cfg, tile=(2, 2, 2),
+                                        band_height=96, interpret=True)
+    for b in range(2):
+        exact = project_whole(hm[b], rc, cfg)
+        np.testing.assert_allclose(np.asarray(fast[b]), np.asarray(exact),
+                                   atol=5e-5)

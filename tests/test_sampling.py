@@ -38,7 +38,8 @@ def test_bilinear_matches_torch(rng):
     g = rng.uniform(-1.15, 1.15, (1000, 2)).astype(np.float32)
     g = np.clip(g, -1.1, 1.1)
     px = (g + 1.0) * 0.5 * np.array([W - 1, H - 1], np.float32)
-    ours = np.asarray(bilinear_sample(jnp.asarray(hm), jnp.asarray(px)))
+    ours = np.asarray(bilinear_sample(
+        jnp.asarray(hm), jnp.asarray(px[:, 0]), jnp.asarray(px[:, 1])))
     ref = torch_grid_sample(hm, g)
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
@@ -49,8 +50,9 @@ def test_bilinear_exact_corners(rng):
     # integer pixel coords must return exact pixel values
     xs = rng.randint(0, W, 50)
     ys = rng.randint(0, H, 50)
-    px = np.stack([xs, ys], 1).astype(np.float32)
-    out = np.asarray(bilinear_sample(jnp.asarray(hm), jnp.asarray(px)))
+    out = np.asarray(bilinear_sample(
+        jnp.asarray(hm), jnp.asarray(xs.astype(np.float32)),
+        jnp.asarray(ys.astype(np.float32))))
     np.testing.assert_allclose(out, hm[:, ys, xs], atol=1e-6)
 
 
