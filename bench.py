@@ -31,18 +31,28 @@ def log(msg: str) -> None:
 
 
 def time_fn(fn, *args, iters: int = 20, warmup: int = 3) -> float:
-    import jax
+    """Throughput timing with a scalar device fetch as the completion fence
+    (block_until_ready alone proved unreliable on the tunneled runtime)."""
+    import jax.numpy as jnp
+
+    def fence(out):
+        return float(jnp.asarray(out).ravel()[0])
+
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        fence(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    fence(out)
     return (time.perf_counter() - t0) / iters
 
 
 def main() -> None:
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from fvp_tpu.config import FVPConfig

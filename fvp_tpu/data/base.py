@@ -96,21 +96,32 @@ class PoseDataset:
                 vis[bad] = 0
                 joints_2d.append(pose)
                 joints_vis.append(vis)
-            out.append(generate_input_heatmap(
-                cfg, joints_2d, joints_vis=joints_vis, augment=augment,
-                rng=rng))
+            hm = None
+            if not augment:
+                from fvp_tpu.data.native import generate_input_heatmap_native
+                hm = generate_input_heatmap_native(cfg, joints_2d,
+                                                   joints_vis)
+            if hm is None:
+                hm = generate_input_heatmap(
+                    cfg, joints_2d, joints_vis=joints_vis, augment=augment,
+                    rng=rng)
+            out.append(hm)
         return np.stack(out)
 
     def _render_pred_heatmaps(self, rec, rng) -> np.ndarray:
         """Render heatmaps from offline per-view 2D predictions (already in
         original-image coordinates)."""
         cfg = self.cfg
+        from fvp_tpu.data.native import generate_input_heatmap_native
         out = []
         for view_preds in rec["pred_pose2d"]:
             mapped = [affine_apply(np.asarray(p)[:, :2],
                                    self.resize_transform)
                       for p in view_preds]
-            out.append(generate_input_heatmap(cfg, mapped, augment=False))
+            hm = generate_input_heatmap_native(cfg, mapped)
+            if hm is None:
+                hm = generate_input_heatmap(cfg, mapped, augment=False)
+            out.append(hm)
         return np.stack(out)
 
     # ------------------------------------------------------------------

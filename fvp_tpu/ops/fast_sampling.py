@@ -168,7 +168,8 @@ def sample_person_cubes_pallas(heatmaps: jax.Array, rc: RigConstants,
                                cfg: FVPConfig, centers_mm: jax.Array,
                                bbox: jax.Array, person_mask=None,
                                tile=(8, 4, 4), band_height: int = 32,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               hm_dtype=jnp.bfloat16):
     """Pallas-kernel person-cube sampler (fvp_tpu/ops/pallas/sampler.py):
     projection coords computed in XLA (cheap VPU math), the fused
     multi-view bilinear sample on the MXU. Same contract as
@@ -209,7 +210,8 @@ def sample_person_cubes_pallas(heatmaps: jax.Array, rc: RigConstants,
 
     out = pallas_tiled_sample(padded[None], sx, sy, tile_valid,
                               PH=band_height, people_per_item=P,
-                              interpret=interpret)    # (P, T, J, S)
+                              interpret=interpret,
+                              hm_dtype=hm_dtype)      # (P, T, J, S)
 
     def finalize(out_p, ctl, bb):
         cube = _untile(out_p, tdims, J)
@@ -230,7 +232,8 @@ def sample_person_cubes_pallas(heatmaps: jax.Array, rc: RigConstants,
 def project_whole_pallas(heatmaps: jax.Array, rc: RigConstants,
                          cfg: FVPConfig, tile=(4, 4, 4),
                          band_height: int = 64,
-                         interpret: bool = False) -> jax.Array:
+                         interpret: bool = False,
+                         hm_dtype=jnp.bfloat16) -> jax.Array:
     """Whole-space aggregation through the Pallas sampler:
     (V, J, H, W) -> (nx, ny, nz, J) in [0, 1]."""
     from fvp_tpu.ops.pallas.sampler import pallas_tiled_sample
@@ -252,7 +255,8 @@ def project_whole_pallas(heatmaps: jax.Array, rc: RigConstants,
 
     valid = jnp.ones((1, T), jnp.int32)
     out = pallas_tiled_sample(pad_heatmaps(heatmaps)[None], sx, sy, valid,
-                              PH=band_height, interpret=interpret)
+                              PH=band_height, interpret=interpret,
+                              hm_dtype=hm_dtype)
     vol = out[0].transpose(0, 2, 1)                   # (T, S, J)
     vol = vol.reshape(Tx, Ty, Tz, tx, ty, tz, J)
     vol = vol.transpose(0, 3, 1, 4, 2, 5, 6)
@@ -262,7 +266,8 @@ def project_whole_pallas(heatmaps: jax.Array, rc: RigConstants,
 def project_whole_pallas_batched(heatmaps: jax.Array, rc: RigConstants,
                                  cfg: FVPConfig, tile=(4, 4, 4),
                                  band_height: int = 64,
-                                 interpret: bool = False) -> jax.Array:
+                                 interpret: bool = False,
+                                 hm_dtype=jnp.bfloat16) -> jax.Array:
     """(B, V, J, H, W) -> (B, nx, ny, nz, J): batched whole-space
     aggregation (per-frame heatmaps, shared precomputed coords)."""
     from fvp_tpu.ops.pallas.sampler import pallas_tiled_sample
@@ -285,7 +290,8 @@ def project_whole_pallas_batched(heatmaps: jax.Array, rc: RigConstants,
     valid = jnp.ones((B, T), jnp.int32)
     out = pallas_tiled_sample(pad_heatmaps(heatmaps), sx, sy, valid,
                               PH=band_height, people_per_item=1,
-                              interpret=interpret)    # (B, T, J, S)
+                              interpret=interpret,
+                              hm_dtype=hm_dtype)      # (B, T, J, S)
     vol = out.transpose(0, 1, 3, 2)                   # (B, T, S, J)
     vol = vol.reshape(B, Tx, Ty, Tz, tx, ty, tz, J)
     vol = vol.transpose(0, 1, 4, 2, 5, 3, 6, 7)
@@ -298,7 +304,8 @@ def sample_person_cubes_pallas_batched(heatmaps: jax.Array,
                                        bbox: jax.Array, person_mask=None,
                                        tile=(8, 4, 4),
                                        band_height: int = 32,
-                                       interpret: bool = False):
+                                       interpret: bool = False,
+                                       hm_dtype=jnp.bfloat16):
     """Batched JLN sampling: heatmaps (B, V, J, H, W), centers (B, K, 3),
     bbox (B, K, 2), person_mask (B, K) bool (unmatched proposals are
     skipped — zeros — matching the reference's masked loop,
@@ -341,7 +348,8 @@ def sample_person_cubes_pallas_batched(heatmaps: jax.Array,
         tile_valid = tile_valid & person_mask.reshape(B * K)[:, None]
 
     out = pallas_tiled_sample(padded, sx, sy, tile_valid, PH=band_height,
-                              people_per_item=K, interpret=interpret)
+                              people_per_item=K, interpret=interpret,
+                              hm_dtype=hm_dtype)
 
     def finalize(out_p, ctl, bb):
         cube = _untile(out_p, tdims, J)

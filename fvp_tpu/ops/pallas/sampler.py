@@ -71,8 +71,11 @@ def _one_tile(sx_ref, sy_ref, hm_ref, nt, num_views, PH, Hp, Wp, J, S):
 
         band = hm_ref[0, v, :, pl.ds(oyi, PH), :]  # (J, PH, Wp)
 
+        # with bf16 heatmaps (default): bf16 x bf16 -> f32, matching the
+        # MXU's default-precision path for f32 operands at half the VMEM
+        # footprint for the resident heatmaps
         t1 = jax.lax.dot_general(
-            band.reshape(J * PH, Wp), wxT,
+            band.reshape(J * PH, Wp), wxT.astype(band.dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)    # (J*PH, S)
         return acc + jnp.sum(
@@ -112,15 +115,18 @@ def _sampler_kernel(valid_ref, sx_ref, sy_ref, hm_ref, out_ref, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("PH", "tiles_per_step", "people_per_item", "interpret"))
+    static_argnames=("PH", "tiles_per_step", "people_per_item", "interpret",
+                     "hm_dtype"))
 def pallas_tiled_sample(padded_hm: jax.Array, sx: jax.Array, sy: jax.Array,
                         tile_valid: jax.Array, PH: int = 32,
                         tiles_per_step: int = 8, people_per_item: int = 1,
-                        interpret: bool = False) -> jax.Array:
-    """padded_hm: (NB, V, J, H+2*PAD, W+2*PAD) f32 (zero border), one entry
-    per frame; sx, sy: (P, T, V, S) heatmap-frame pixel coords of tiled
-    samples, where row p samples frame p // people_per_item's heatmaps;
-    tile_valid: (P, T) int32 (0 => emit zeros without sampling).
+                        interpret: bool = False,
+                        hm_dtype=jnp.bfloat16) -> jax.Array:
+    """padded_hm: (NB, V, J, H+2*PAD, W+2*PAD) (zero border; stored bf16 in
+    VMEM), one entry per frame; sx, sy: (P, T, V, S) heatmap-frame pixel
+    coords of tiled samples, where row p samples frame
+    p // people_per_item's heatmaps; tile_valid: (P, T) int32 (0 => emit
+    zeros without sampling).
     Returns (P, T, J, S): per-tile view-mean bilinear samples in [0, 1].
 
     PH is the y-band height; a tile whose projected y-extent exceeds
@@ -157,4 +163,4 @@ def pallas_tiled_sample(padded_hm: jax.Array, sx: jax.Array, sy: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((P, T, J, S), jnp.float32),
         interpret=interpret,
-    )(tile_valid.astype(jnp.int32), sx, sy, padded_hm)
+    )(tile_valid.astype(jnp.int32), sx, sy, padded_hm.astype(hm_dtype))

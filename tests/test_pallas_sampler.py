@@ -32,7 +32,8 @@ def test_person_cubes_pallas_matches_exact(rng):
 
     fast, off_f = sample_person_cubes_pallas_batched(
         hm, rc, cfg, centers, bbox, person_mask=mask,
-        tile=(2, 2, 2), band_height=40, interpret=True)
+        tile=(2, 2, 2), band_height=40, interpret=True,
+        hm_dtype=jnp.float32)
 
     for b in range(2):
         exact, off_e = sample_person_cubes(hm[b], rc, cfg, centers[b],
@@ -56,7 +57,8 @@ def test_project_whole_pallas_matches_exact(rng):
     hm = jnp.asarray(rng.rand(2, 2, cfg.num_joints, h, w).astype(np.float32))
 
     fast = project_whole_pallas_batched(hm, rc, cfg, tile=(2, 2, 2),
-                                        band_height=96, interpret=True)
+                                        band_height=96, interpret=True,
+                                        hm_dtype=jnp.float32)
     for b in range(2):
         exact = project_whole(hm[b], rc, cfg)
         np.testing.assert_allclose(np.asarray(fast[b]), np.asarray(exact),
