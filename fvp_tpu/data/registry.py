@@ -23,9 +23,14 @@ def build_dataset(name: str, cfg: FVPConfig, is_train: bool):
         from fvp_tpu.data.custom import CustomDataset
         return CustomDataset(cfg, is_train)
     if name == "synthetic":
-        from fvp_tpu.data.shelf import load_json_calibration
         from fvp_tpu.data.synthetic import SyntheticDataset
         cam_file = osp.join(cfg.data_dir, cfg.synthetic_camera_file)
-        rig = load_json_calibration(cam_file)
+        if cfg.synthetic_camera_file and osp.exists(cam_file):
+            from fvp_tpu.data.shelf import load_json_calibration
+            rig = load_json_calibration(cam_file)
+        else:
+            from fvp_tpu.geometry.cameras import default_ring_rig
+            rig = default_ring_rig(cfg.num_views, cfg.space_center,
+                                   cfg.ori_image_size)
         return SyntheticDataset(cfg, rig, seed=cfg.seed, is_train=is_train)
     raise ValueError(f"unknown dataset {name!r}")

@@ -84,6 +84,36 @@ class CameraRig:
         }
 
 
+def default_ring_rig(num_views: int, space_center, ori_image_size,
+                     radius: float = 4500.0, height: float = 2200.0,
+                     focal: float = 1500.0, seed: int = 7) -> "CameraRig":
+    """Deterministic inward-looking camera ring — the fallback rig for
+    synthetic data, demos and benchmarks when no calibration is on disk."""
+    rng = np.random.RandomState(seed)
+    center = np.asarray(space_center, np.float64)
+    cams = []
+    for v in range(num_views):
+        ang = 2 * np.pi * v / num_views
+        pos = center + np.array([radius * np.cos(ang),
+                                 radius * np.sin(ang), height])
+        fwd = center + np.array([0.0, 0.0, 900.0]) - pos
+        fwd /= np.linalg.norm(fwd)
+        up = np.array([0.0, 0.0, -1.0])
+        right = np.cross(fwd, up)
+        right /= np.linalg.norm(right)
+        down = np.cross(fwd, right)
+        cams.append({
+            "R": np.stack([right, down, fwd]),
+            "T": pos.reshape(3, 1),
+            "fx": focal, "fy": focal,
+            "cx": ori_image_size[0] / 2.0,
+            "cy": ori_image_size[1] / 2.0,
+            "k": rng.uniform(-0.1, 0.1, (3, 1)) * [[1], [0.1], [0.01]],
+            "p": rng.uniform(-0.005, 0.005, (2, 1)),
+        })
+    return CameraRig.from_dicts(cams)
+
+
 def _distort(yx, yy, k, p):
     r2 = yx * yx + yy * yy
     d = 1.0 + r2 * (k[0] + r2 * (k[1] + r2 * k[2]))

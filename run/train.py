@@ -18,6 +18,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("FVP_PLATFORM"):
+    # sitecustomize pins JAX_PLATFORMS before we run; this is the working
+    # override for CPU runs (e.g. FVP_PLATFORM=cpu for machines w/o TPU)
+    jax.config.update("jax_platforms", os.environ["FVP_PLATFORM"])
 import jax.numpy as jnp
 import numpy as np
 
