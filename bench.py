@@ -63,12 +63,16 @@ def main() -> None:
 
     log(f"devices: {jax.devices()}")
 
-    cfg = FVPConfig()                       # Panoptic jln64 defaults
+    # Panoptic jln64 defaults; bf16 network compute = the serving config
+    # (params stay f32; heads accumulate f32; sampling already runs the
+    # MXU's bf16 path for f32 inputs)
+    cfg = FVPConfig(compute_dtype="bfloat16")
     rig = _panoptic_rig(cfg.num_views, cfg)
     rc = jax.tree_util.tree_map(jnp.asarray, build_rig_constants(cfg, rig))
     model = FasterVoxelPose(cfg=cfg)
     backbone = PoseResNet(num_joints=cfg.num_joints,
-                          num_layers=cfg.resnet_layers)
+                          num_layers=cfg.resnet_layers,
+                          dtype=jnp.dtype(cfg.compute_dtype))
 
     w, h = cfg.image_size
     hm_w, hm_h = cfg.heatmap_size

@@ -108,6 +108,9 @@ class FVPConfig:
     # voxel sampling implementation: 'auto' (Pallas MXU kernel on TPU,
     # exact XLA gather elsewhere), 'pallas', or 'exact'
     sampling_backend: str = "auto"
+    # network compute dtype: 'float32' or 'bfloat16' (params stay f32;
+    # heads/decoders accumulate in f32 either way)
+    compute_dtype: str = "float32"
 
     # ------------------------------------------------------------------
     @property

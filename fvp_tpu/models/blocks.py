@@ -13,7 +13,7 @@ explicitly (cnns_2d.py:224-232).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -26,12 +26,15 @@ class BasicBlock(nn.Module):
     features: int
     kernel: int
     dims: int = 2
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, (self.kernel,) * self.dims, padding="SAME",
-                    kernel_init=INIT, bias_init=nn.initializers.zeros)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+                    dtype=self.dtype, kernel_init=INIT,
+                    bias_init=nn.initializers.zeros)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -39,22 +42,27 @@ class ResBlock(nn.Module):
     """conv3-BN-ReLU-conv3-BN + (1x projection) skip, ReLU at the join."""
     features: int
     dims: int = 2
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         k = (3,) * self.dims
-        r = nn.Conv(self.features, k, padding="SAME", kernel_init=INIT,
-                    bias_init=nn.initializers.zeros)(x)
-        r = nn.BatchNorm(use_running_average=not train, momentum=0.9)(r)
+        r = nn.Conv(self.features, k, padding="SAME", dtype=self.dtype,
+                    kernel_init=INIT, bias_init=nn.initializers.zeros)(x)
+        r = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(r)
         r = nn.relu(r)
-        r = nn.Conv(self.features, k, padding="SAME", kernel_init=INIT,
-                    bias_init=nn.initializers.zeros)(r)
-        r = nn.BatchNorm(use_running_average=not train, momentum=0.9)(r)
+        r = nn.Conv(self.features, k, padding="SAME", dtype=self.dtype,
+                    kernel_init=INIT, bias_init=nn.initializers.zeros)(r)
+        r = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(r)
         if x.shape[-1] != self.features:
             x = nn.Conv(self.features, (1,) * self.dims, padding="VALID",
-                        kernel_init=INIT, bias_init=nn.initializers.zeros)(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
-        return nn.relu(r + x)
+                        dtype=self.dtype, kernel_init=INIT,
+                        bias_init=nn.initializers.zeros)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=self.dtype)(x)
+        return nn.relu(r + x.astype(r.dtype))
 
 
 def max_pool(x, dims: int, window: int = 2):
@@ -65,6 +73,7 @@ class UpsampleBlock(nn.Module):
     """Stride-2 transposed conv (kernel 2) + BN + ReLU: exact 2x upsample."""
     features: int
     dims: int = 2
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -72,9 +81,10 @@ class UpsampleBlock(nn.Module):
         # ConvTranspose(k=2, s=2, p=0): exact 2x (verified numerically)
         x = nn.ConvTranspose(self.features, (2,) * self.dims,
                              strides=(2,) * self.dims, padding="SAME",
-                             kernel_init=INIT,
+                             dtype=self.dtype, kernel_init=INIT,
                              bias_init=nn.initializers.zeros)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -83,25 +93,27 @@ class EncoderDecoder(nn.Module):
     32 -> 64 -> 128 channels down, mirrored up, skip adds at each level."""
     dims: int = 2
     channels: Sequence[int] = (32, 64, 128)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c0, c1, c2 = self.channels
-        skip1 = ResBlock(c0, self.dims)(x, train)
+        d = self.dtype
+        skip1 = ResBlock(c0, self.dims, d)(x, train)
         x = max_pool(x, self.dims)
-        x = ResBlock(c1, self.dims)(x, train)
+        x = ResBlock(c1, self.dims, d)(x, train)
 
-        skip2 = ResBlock(c1, self.dims)(x, train)
+        skip2 = ResBlock(c1, self.dims, d)(x, train)
         x = max_pool(x, self.dims)
-        x = ResBlock(c2, self.dims)(x, train)
+        x = ResBlock(c2, self.dims, d)(x, train)
 
-        x = ResBlock(c2, self.dims)(x, train)
+        x = ResBlock(c2, self.dims, d)(x, train)
 
-        x = ResBlock(c2, self.dims)(x, train)
-        x = UpsampleBlock(c1, self.dims)(x, train)
+        x = ResBlock(c2, self.dims, d)(x, train)
+        x = UpsampleBlock(c1, self.dims, d)(x, train)
         x = x + skip2
 
-        x = ResBlock(c1, self.dims)(x, train)
-        x = UpsampleBlock(c0, self.dims)(x, train)
+        x = ResBlock(c1, self.dims, d)(x, train)
+        x = UpsampleBlock(c0, self.dims, d)(x, train)
         x = x + skip1
         return x

@@ -10,6 +10,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+from typing import Any
+
 from fvp_tpu.models.blocks import (
     INIT, BasicBlock, EncoderDecoder, ResBlock, max_pool,
 )
@@ -20,39 +22,44 @@ class CenterNet(nn.Module):
     collapses to the bird's-eye view, then front convs + hourglass + two
     heads -> (center heatmap (B, X, Y, 1), bbox sizes (B, X, Y, 2))."""
     head_conv: int = 32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, volume, train: bool = False):
+        d = self.dtype
         x = jnp.max(volume, axis=3)                      # (B, X, Y, J)
-        x = BasicBlock(16, 7, dims=2)(x, train)
-        x = ResBlock(32, dims=2)(x, train)
-        x = EncoderDecoder(dims=2)(x, train)
+        x = BasicBlock(16, 7, dims=2, dtype=d)(x, train)
+        x = ResBlock(32, dims=2, dtype=d)(x, train)
+        x = EncoderDecoder(dims=2, dtype=d)(x, train)
 
-        hm = nn.Conv(self.head_conv, (3, 3), padding="SAME",
+        hm = nn.Conv(self.head_conv, (3, 3), padding="SAME", dtype=d,
                      kernel_init=INIT, bias_init=nn.initializers.zeros)(x)
         hm = nn.relu(hm)
         hm = nn.Conv(1, (1, 1), padding="VALID", kernel_init=INIT,
-                     bias_init=nn.initializers.zeros)(hm)
+                     bias_init=nn.initializers.zeros)(hm.astype(jnp.float32))
 
-        size = nn.Conv(self.head_conv, (3, 3), padding="SAME",
+        size = nn.Conv(self.head_conv, (3, 3), padding="SAME", dtype=d,
                        kernel_init=INIT, bias_init=nn.initializers.zeros)(x)
         size = nn.relu(size)
         size = nn.Conv(2, (1, 1), padding="VALID", kernel_init=INIT,
-                       bias_init=nn.initializers.zeros)(size)
+                       bias_init=nn.initializers.zeros)(
+                           size.astype(jnp.float32))
         return hm, size
 
 
 class C2CNet(nn.Module):
     """1D height regressor over per-proposal z-columns:
     (N, Z, J) -> (N, Z) height heatmap."""
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = BasicBlock(16, 7, dims=1)(x, train)
-        x = ResBlock(32, dims=1)(x, train)
-        x = EncoderDecoder(dims=1)(x, train)
+        d = self.dtype
+        x = BasicBlock(16, 7, dims=1, dtype=d)(x, train)
+        x = ResBlock(32, dims=1, dtype=d)(x, train)
+        x = EncoderDecoder(dims=1, dtype=d)(x, train)
         x = nn.Conv(1, (1,), padding="VALID", kernel_init=INIT,
-                    bias_init=nn.initializers.zeros)(x)
+                    bias_init=nn.initializers.zeros)(x.astype(jnp.float32))
         return x[..., 0]
 
 
@@ -60,15 +67,18 @@ class P2PNet(nn.Module):
     """Plane-to-pose net: (N, A, B, J) plane stacks -> per-joint plane
     heatmaps (N, A, B, J)."""
     num_joints: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = BasicBlock(16, 7, dims=2)(x, train)
-        x = ResBlock(32, dims=2)(x, train)
-        x = EncoderDecoder(dims=2)(x, train)
+        d = self.dtype
+        x = BasicBlock(16, 7, dims=2, dtype=d)(x, train)
+        x = ResBlock(32, dims=2, dtype=d)(x, train)
+        x = EncoderDecoder(dims=2, dtype=d)(x, train)
         return nn.Conv(self.num_joints, (1, 1), padding="VALID",
                        kernel_init=INIT,
-                       bias_init=nn.initializers.zeros)(x)
+                       bias_init=nn.initializers.zeros)(
+                           x.astype(jnp.float32))
 
 
 class WeightNet(nn.Module):
@@ -78,17 +88,20 @@ class WeightNet(nn.Module):
     its _initialize_weights, so default inits apply here too)."""
     feat_channels: int = 32
     hidden_channels: int = 64
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # x: (N, A, B, J) plane heatmaps; one joint map per weight
         n, a, b, j = x.shape
         x = x.transpose(0, 3, 1, 2).reshape(n * j, a, b, 1)
-        x = nn.Conv(self.feat_channels, (3, 3), padding="SAME")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.Conv(self.feat_channels, (3, 3), padding="SAME",
+                    dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(x)
         x = max_pool(x, dims=2)
         x = nn.relu(x)
-        x = jnp.mean(x, axis=(1, 2))                     # global avg pool
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # global avg pool
         x = nn.Dense(self.hidden_channels)(x)
         x = nn.relu(x)
         x = nn.Dense(1)(x)

@@ -92,12 +92,14 @@ class FasterVoxelPose(nn.Module):
     cfg: FVPConfig
 
     def setup(self):
-        self.center_net = CenterNet()
-        self.c2c_net = C2CNet()
-        self.p2p_net = P2PNet(num_joints=self.cfg.num_joints)
+        dtype = jnp.dtype(self.cfg.compute_dtype)
+        self.center_net = CenterNet(dtype=dtype)
+        self.c2c_net = C2CNet(dtype=dtype)
+        self.p2p_net = P2PNet(num_joints=self.cfg.num_joints, dtype=dtype)
         self.weight_net = WeightNet(
             feat_channels=self.cfg.num_channel_joint_feat,
-            hidden_channels=self.cfg.num_channel_joint_hidden)
+            hidden_channels=self.cfg.num_channel_joint_hidden,
+            dtype=dtype)
 
     # ------------------------------------------------------------------
     def detect(self, heatmaps, rc: RigConstants, train: bool,
@@ -181,18 +183,17 @@ class FasterVoxelPose(nn.Module):
 
         if use_pallas_sampling(cfg):
             from fvp_tpu.ops.fast_sampling import (
-                sample_person_cubes_pallas_batched,
+                sample_person_planes_pallas_batched,
             )
-            cubes, offsets = sample_person_cubes_pallas_batched(
+            planes, offsets = sample_person_planes_pallas_batched(
                 heatmaps, rc, cfg, centers, bbox, person_mask=person_mask)
         else:
             cubes, offsets = jax.vmap(
                 lambda h, c, b: sample_person_cubes(h, rc, cfg, c, b)
             )(heatmaps, centers, bbox)
-        # cubes: (B, K, X, Y, Z, J); offsets: (B, K, 3)
-
-        planes = collapse_planes(
-            cubes.reshape(B * K, *cubes.shape[2:]))          # (3, BK, A, B, J)
+            planes = collapse_planes(
+                cubes.reshape(B * K, *cubes.shape[2:]))
+        # planes: (3, BK, A, B, J); offsets: (B, K, 3)
         feats = self.p2p_net(
             planes.reshape(3 * B * K, *planes.shape[2:]), train)
         feats3 = feats.reshape(3, B * K, nx, nx, J)

@@ -29,60 +29,68 @@ RESNET_SPECS = {
 
 
 class _BN(nn.Module):
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            dtype=self.dtype)(x)
 
 
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        d = self.dtype
         residual = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
-        out = _BN(name="bn1")(out, train)
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=d,
+                      name="conv1")(x)
+        out = _BN(dtype=d, name="bn1")(out, train)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
-                      padding=((1, 1), (1, 1)), use_bias=False,
+                      padding=((1, 1), (1, 1)), use_bias=False, dtype=d,
                       name="conv2")(out)
-        out = _BN(name="bn2")(out, train)
+        out = _BN(dtype=d, name="bn2")(out, train)
         out = nn.relu(out)
-        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=d,
                       name="conv3")(out)
-        out = _BN(name="bn3")(out, train)
+        out = _BN(dtype=d, name="bn3")(out, train)
         if self.downsample:
             residual = nn.Conv(self.planes * 4, (1, 1),
                                strides=(self.stride,) * 2, use_bias=False,
-                               name="down_conv")(x)
-            residual = _BN(name="down_bn")(residual, train)
-        return nn.relu(out + residual)
+                               dtype=d, name="down_conv")(x)
+            residual = _BN(dtype=d, name="down_bn")(residual, train)
+        return nn.relu(out + residual.astype(out.dtype))
 
 
 class BasicResBlock(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        d = self.dtype
         residual = x
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
-                      padding=((1, 1), (1, 1)), use_bias=False,
+                      padding=((1, 1), (1, 1)), use_bias=False, dtype=d,
                       name="conv1")(x)
-        out = _BN(name="bn1")(out, train)
+        out = _BN(dtype=d, name="bn1")(out, train)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)),
-                      use_bias=False, name="conv2")(out)
-        out = _BN(name="bn2")(out, train)
+                      use_bias=False, dtype=d, name="conv2")(out)
+        out = _BN(dtype=d, name="bn2")(out, train)
         if self.downsample:
             residual = nn.Conv(self.planes, (1, 1),
                                strides=(self.stride,) * 2, use_bias=False,
-                               name="down_conv")(x)
-            residual = _BN(name="down_bn")(residual, train)
-        return nn.relu(out + residual)
+                               dtype=d, name="down_conv")(x)
+            residual = _BN(dtype=d, name="down_bn")(residual, train)
+        return nn.relu(out + residual.astype(out.dtype))
 
 
 class PoseResNet(nn.Module):
@@ -90,6 +98,7 @@ class PoseResNet(nn.Module):
     num_layers: int = 50
     deconv_filters: Sequence[int] = (256, 256, 256)
     final_kernel: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -97,10 +106,11 @@ class PoseResNet(nn.Module):
         kind, layers = RESNET_SPECS[self.num_layers]
         block = Bottleneck if kind == "bottleneck" else BasicResBlock
         expansion = 4 if kind == "bottleneck" else 1
+        d = self.dtype
 
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, name="conv1")(x)
-        x = _BN(name="bn1")(x, train)
+                    use_bias=False, dtype=d, name="conv1")(x)
+        x = _BN(dtype=d, name="bn1")(x, train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -111,22 +121,22 @@ class PoseResNet(nn.Module):
             for bi in range(blocks):
                 down = bi == 0 and (stride != 1
                                     or inplanes != planes * expansion)
-                x = block(planes, stride if bi == 0 else 1, down,
+                x = block(planes, stride if bi == 0 else 1, down, dtype=d,
                           name=f"layer{li + 1}_{bi}")(x, train)
             inplanes = planes * expansion
 
         for di, feats in enumerate(self.deconv_filters):
             # torch ConvTranspose(k=4, s=2, p=1) == flax SAME (verified)
             x = nn.ConvTranspose(feats, (4, 4), strides=(2, 2),
-                                 padding="SAME", use_bias=False,
+                                 padding="SAME", use_bias=False, dtype=d,
                                  name=f"deconv{di}")(x)
-            x = _BN(name=f"deconv_bn{di}")(x, train)
+            x = _BN(dtype=d, name=f"deconv_bn{di}")(x, train)
             x = nn.relu(x)
 
         pad = ((1, 1), (1, 1)) if self.final_kernel == 3 else "VALID"
         x = nn.Conv(self.num_joints,
                     (self.final_kernel,) * 2, padding=pad,
-                    name="final_layer")(x)
+                    name="final_layer")(x.astype(jnp.float32))
         return x
 
 

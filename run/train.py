@@ -62,7 +62,8 @@ def load_backbone(cfg):
     if not cfg.pretrained_backbone:
         return None, None
     backbone = PoseResNet(num_joints=cfg.num_joints,
-                          num_layers=cfg.resnet_layers)
+                          num_layers=cfg.resnet_layers,
+                          dtype=jnp.dtype(cfg.compute_dtype))
     path = cfg.pretrained_backbone
     if path.endswith((".pth", ".tar")):
         import torch

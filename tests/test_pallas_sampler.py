@@ -63,3 +63,36 @@ def test_project_whole_pallas_matches_exact(rng):
         exact = project_whole(hm[b], rc, cfg)
         np.testing.assert_allclose(np.asarray(fast[b]), np.asarray(exact),
                                    atol=5e-5)
+
+
+def test_person_planes_pallas_matches_exact(rng):
+    from fvp_tpu.ops.fast_sampling import sample_person_planes_pallas_batched
+    from fvp_tpu.ops.sampling import collapse_planes
+
+    cfg = tiny_config(num_views=2, ind_voxels_per_axis=(16, 16, 16),
+                      max_people=3)
+    rig = random_rig(rng, num_views=2)
+    rc = build_rig_constants(cfg, rig)
+    w, h = cfg.heatmap_size
+    hm = jnp.asarray(rng.rand(2, 2, cfg.num_joints, h, w).astype(np.float32))
+    centers = jnp.asarray(np.stack([
+        rng.uniform(-2000, 2000, (2, 3)),
+        rng.uniform(-2500, 2000, (2, 3)),
+        rng.uniform(400, 1400, (2, 3)),
+    ], -1).astype(np.float32))
+    bbox = jnp.asarray(rng.uniform(0.3, 0.9, (2, 3, 2)).astype(np.float32))
+    mask = jnp.asarray(np.ones((2, 3), bool))
+
+    planes, off = sample_person_planes_pallas_batched(
+        hm, rc, cfg, centers, bbox, person_mask=mask,
+        tile=(2, 2, 2), band_height=40, interpret=True,
+        hm_dtype=jnp.float32)
+
+    for b in range(2):
+        exact, off_e = sample_person_cubes(hm[b], rc, cfg, centers[b],
+                                           bbox[b])
+        np.testing.assert_allclose(np.asarray(off[b]), np.asarray(off_e),
+                                   atol=1e-4)
+        expected = collapse_planes(exact)          # (3, 3, A, B, J)
+        got = np.asarray(planes[:, b * 3:(b + 1) * 3])
+        np.testing.assert_allclose(got, np.asarray(expected), atol=5e-5)
