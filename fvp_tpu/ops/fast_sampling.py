@@ -353,7 +353,8 @@ def sample_person_planes_pallas_batched(heatmaps: jax.Array,
 
     out = pallas_tiled_sample(padded, sx, sy, tile_valid, PH=band_height,
                               people_per_item=K, interpret=interpret,
-                              hm_dtype=hm_dtype)      # (P, T, J, S)
+                              hm_dtype=hm_dtype,
+                              out_dtype=hm_dtype)     # (P, T, J, S)
 
     # per-voxel validity in tiled layout (no cube-order materialization)
     def voxel_valid(ctl, bb):
@@ -386,7 +387,7 @@ def sample_person_planes_pallas_batched(heatmaps: jax.Array,
         assemble(xy, Tx, tx, Ty, ty),
         assemble(xz, Tx, tx, Tz, tz),
         assemble(yz, Ty, ty, Tz, tz),
-    ])                                                # (3, P, A, B, J)
+    ]).astype(jnp.float32)                            # (3, P, A, B, J)
     return planes, offset.reshape(B, K, 3)
 
 

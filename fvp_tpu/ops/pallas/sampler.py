@@ -106,22 +106,24 @@ def _sampler_kernel(valid_ref, sx_ref, sy_ref, hm_ref, out_ref, *,
         @pl.when(valid)
         def _():
             out_ref[0, nt] = _one_tile(sx_ref, sy_ref, hm_ref, nt,
-                                       num_views, PH, Hp, Wp, J, S)
+                                       num_views, PH, Hp, Wp, J, S
+                                       ).astype(out_ref.dtype)
 
         @pl.when(jnp.logical_not(valid))
         def _():
-            out_ref[0, nt] = jnp.zeros((J, S), jnp.float32)
+            out_ref[0, nt] = jnp.zeros((J, S), out_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("PH", "tiles_per_step", "people_per_item", "interpret",
-                     "hm_dtype"))
+                     "hm_dtype", "out_dtype"))
 def pallas_tiled_sample(padded_hm: jax.Array, sx: jax.Array, sy: jax.Array,
                         tile_valid: jax.Array, PH: int = 32,
                         tiles_per_step: int = 8, people_per_item: int = 1,
                         interpret: bool = False,
-                        hm_dtype=jnp.bfloat16) -> jax.Array:
+                        hm_dtype=jnp.bfloat16,
+                        out_dtype=jnp.float32) -> jax.Array:
     """padded_hm: (NB, V, J, H+2*PAD, W+2*PAD) (zero border; stored bf16 in
     VMEM), one entry per frame; sx, sy: (P, T, V, S) heatmap-frame pixel
     coords of tiled samples, where row p samples frame
@@ -161,6 +163,6 @@ def pallas_tiled_sample(padded_hm: jax.Array, sx: jax.Array, sy: jax.Array,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((P, T, J, S), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((P, T, J, S), out_dtype),
         interpret=interpret,
     )(tile_valid.astype(jnp.int32), sx, sy, padded_hm.astype(hm_dtype))
