@@ -61,7 +61,10 @@ def make_optimizers(cfg: FVPConfig):
 
 def create_train_state(cfg: FVPConfig, model: FasterVoxelPose, rc,
                        sample_heatmaps, rng_key) -> TrainState:
-    variables = model.init(rng_key, sample_heatmaps, rc, train=False)
+    # jit the init: eager per-op dispatch is minutes-slow on remote runtimes
+    variables = jax.jit(
+        lambda k, h: model.init(k, h, rc, train=False)
+    )(rng_key, sample_heatmaps)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     hdn_tx, jln_tx = make_optimizers(cfg)

@@ -19,6 +19,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from fvp_tpu.service.pipeline import ServiceConfig, run_service
 
 
+def on_result(res):
+    """Result sink for the spawned visualization process (must be a
+    module-level function: ServiceConfig is pickled across the spawn)."""
+    print(f"[{res['timestamp']:.2f}] "
+          f"{int((res['poses'][:, 0, 3] >= 0).sum())} people, "
+          f"latency {res['latency_ms']:.1f} ms, fps {res['fps']:.1f}",
+          flush=True)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg", default="")
@@ -28,12 +37,6 @@ def main():
     parser.add_argument("--max_frames", type=int, default=None)
     parser.add_argument("--fps", type=float, default=30.0)
     args = parser.parse_args()
-
-    def on_result(res):
-        print(f"[{res['timestamp']:.2f}] "
-              f"{int((res['poses'][:, 0, 3] >= 0).sum())} people, "
-              f"latency {res['latency_ms']:.1f} ms, fps {res['fps']:.1f}",
-              flush=True)
 
     run_service(ServiceConfig(
         cfg_path=args.cfg,

@@ -59,7 +59,9 @@ def main():
     hm_w, hm_h = cfg.heatmap_size
     sample = jnp.zeros((1, cfg.num_views, cfg.num_joints, hm_h, hm_w),
                        jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), sample, rc, train=False)
+    variables = jax.jit(
+        lambda k, s: model.init(k, s, rc, train=False)
+    )(jax.random.PRNGKey(0), sample)
     if os.path.exists(ckpt_path):
         from flax import serialization
 
