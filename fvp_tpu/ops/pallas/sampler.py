@@ -132,8 +132,16 @@ def pallas_tiled_sample(padded_hm: jax.Array, sx: jax.Array, sy: jax.Array,
     Returns (P, T, J, S): per-tile view-mean bilinear samples in [0, 1].
 
     PH is the y-band height; a tile whose projected y-extent exceeds
-    PH - 9 rows loses out-of-band rows (pathological close-range geometry
-    only — parity-tested on realistic rigs)."""
+    PH - 9 rows loses out-of-band rows. Two sample classes can trigger
+    this: (a) voxels pathologically close to a camera's image plane;
+    (b) out-of-frustum voxels that the reference's ori-pixel clamp pins to
+    ~-0.12 heatmap rows, which graze image row 0 with ~0.88 weight while
+    sitting arbitrarily far below the tile's in-view rows. Both produce
+    geometric artifacts, not signal; measured deviation vs the exact
+    gather path is ~0.1% of whole-space voxels / 0.008% of person-cube
+    voxels (realistic rigs), self-consistent between training and eval
+    since both run this kernel. The exact path (fvp_tpu/ops/sampling.py)
+    remains available via cfg.sampling_backend='exact'."""
     NB, V, J, Hp, Wp = padded_hm.shape
     P, T, _, S = sx.shape
     assert P == NB * people_per_item, (P, NB, people_per_item)
