@@ -33,6 +33,10 @@ class PoseDataset:
         self.is_train = is_train
         self.heatmap_src = (cfg.train_heatmap_src if is_train
                             else cfg.test_heatmap_src)
+        # heatmap-level augmentation gate (reference JointsDataset.py:62
+        # reads DATASET.DATA_AUGMENTATION; the Synthetic subclass overrides
+        # this with SYNTHETIC.DATA_AUGMENTATION, synthetic.py:31)
+        self.data_augmentation = cfg.data_augmentation
         self.resize_transform = get_resize_transform(
             cfg.ori_image_size, cfg.image_size)
         # seq name -> CameraRig
@@ -77,7 +81,7 @@ class PoseDataset:
         joints_3d = rec["joints_3d"]
         joints_3d_vis = rec["joints_3d_vis"]
         out = []
-        augment = self.is_train and cfg.synthetic_augmentation
+        augment = self.data_augmentation
         for c in range(rig.num_cameras):
             joints_2d, joints_vis = [], []
             for n in range(len(joints_3d)):
@@ -110,17 +114,24 @@ class PoseDataset:
 
     def _render_pred_heatmaps(self, rec, rng) -> np.ndarray:
         """Render heatmaps from offline per-view 2D predictions (already in
-        original-image coordinates)."""
+        original-image coordinates). Augmentation follows the same
+        DATA_AUGMENTATION gate as the gt path (the reference's
+        generate_input_heatmap applies it to every source,
+        JointsDataset.py:414)."""
         cfg = self.cfg
         from fvp_tpu.data.native import generate_input_heatmap_native
+        augment = self.data_augmentation
         out = []
         for view_preds in rec["pred_pose2d"]:
             mapped = [affine_apply(np.asarray(p)[:, :2],
                                    self.resize_transform)
                       for p in view_preds]
-            hm = generate_input_heatmap_native(cfg, mapped)
+            hm = None
+            if not augment:
+                hm = generate_input_heatmap_native(cfg, mapped)
             if hm is None:
-                hm = generate_input_heatmap(cfg, mapped, augment=False)
+                hm = generate_input_heatmap(cfg, mapped, augment=augment,
+                                            rng=rng)
             out.append(hm)
         return np.stack(out)
 

@@ -10,9 +10,42 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional
 
 import numpy as np
+
+_pool: Optional[ThreadPoolExecutor] = None
+_pool_lock = threading.Lock()
+
+
+def _get_pool(num_threads: int) -> ThreadPoolExecutor:
+    global _pool
+    with _pool_lock:
+        if _pool is None:
+            _pool = ThreadPoolExecutor(max_workers=num_threads,
+                                       thread_name_prefix="fvp-sample")
+        return _pool
+
+
+def build_samples(dataset, idxs, rng: Optional[np.random.RandomState],
+                  num_threads: int = 4) -> list[dict]:
+    """Build dataset samples in parallel on a shared thread pool (the
+    reference's DataLoader worker analog, run/train.py:68-73; heatmap
+    rendering is the host hot loop). Per-sample RNGs are seeded
+    SEQUENTIALLY from `rng` so results are deterministic regardless of
+    thread scheduling."""
+    seeds = (rng.randint(0, 2 ** 31, size=len(idxs))
+             if rng is not None else [None] * len(idxs))
+
+    def build(args):
+        i, seed = args
+        sub = np.random.RandomState(seed) if seed is not None else None
+        return dataset.sample(int(i), rng=sub)
+
+    if num_threads <= 1 or len(idxs) <= 1:
+        return [build(a) for a in zip(idxs, seeds)]
+    return list(_get_pool(num_threads).map(build, zip(idxs, seeds)))
 
 
 def collate(samples: list[dict]) -> dict:
@@ -30,8 +63,9 @@ def collate(samples: list[dict]) -> dict:
 
 def batch_iterator(dataset, batch_size: int, shuffle: bool = False,
                    seed: int = 0, drop_last: bool = False,
-                   epoch: int = 0) -> Iterator[dict]:
-    """Sequential batch iterator with per-epoch shuffling."""
+                   epoch: int = 0, num_threads: int = 4) -> Iterator[dict]:
+    """Batch iterator with per-epoch shuffling and thread-parallel sample
+    building."""
     n = len(dataset)
     order = np.arange(n)
     rng = np.random.RandomState(seed + epoch)
@@ -41,11 +75,10 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = False,
         idx = order[start:start + batch_size]
         if drop_last and len(idx) < batch_size:
             return
-        yield collate([dataset.sample(int(i), rng=rng) for i in idx])
+        yield collate(build_samples(dataset, idx, rng, num_threads))
 
 
-def prefetch(it: Iterator[dict], depth: int = 2,
-             num_threads: int = 4) -> Iterator[dict]:
+def prefetch(it: Iterator[dict], depth: int = 2) -> Iterator[dict]:
     """Run the iterator in a background thread with a bounded queue
     (drop-nothing; training consumes every batch)."""
     q: queue.Queue = queue.Queue(maxsize=depth)

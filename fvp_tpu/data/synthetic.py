@@ -35,6 +35,9 @@ class SyntheticDataset(PoseDataset):
                  num_data: int | None = None, seed: int = 0,
                  pose_library=None, is_train: bool = True):
         super().__init__(cfg, is_train)
+        # the Synthetic dataset has its own augmentation gate (reference
+        # lib/dataset/synthetic.py:31: SYNTHETIC.DATA_AUGMENTATION)
+        self.data_augmentation = cfg.synthetic_augmentation
         self.rigs = {"synthetic": rig}
         self.num_data = num_data or cfg.synthetic_num_data
 

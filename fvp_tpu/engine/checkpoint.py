@@ -6,13 +6,17 @@ Behavioral reference: /root/reference/lib/utils/utils.py:74-98 and
 run/train.py:126-160 (single checkpoint.pth.tar with both optimizers;
 model_best strips the frozen backbone — here the backbone lives in its own
 variables tree and is never checkpointed with the model).
+
+Format: flax msgpack (not pickle — loading a checkpoint must never execute
+arbitrary code). The train state is stored as its flat leaf list, which
+works for any registered pytree root without teaching the codec about
+custom dataclasses.
 """
 
 from __future__ import annotations
 
 import os
-import pickle
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np
@@ -23,48 +27,62 @@ def _to_host(tree):
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
+def _write_atomic(path: str, data: bytes) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
 def save_checkpoint(out_dir: str, state, epoch: int, best_metric: float,
                     is_best: bool = False) -> str:
     os.makedirs(out_dir, exist_ok=True)
-    # serialize as a flat leaf list: works for any registered pytree
-    # (flax's msgpack codec doesn't know custom dataclass roots)
-    leaves = jax.tree_util.tree_leaves(_to_host(state))
+    leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(state)]
     payload = {
         "epoch": epoch,
         "best_metric": float(best_metric),
-        "state": serialization.to_bytes(leaves),
+        "state": leaves,
     }
-    path = os.path.join(out_dir, "checkpoint.pkl")
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        pickle.dump(payload, f)
-    os.replace(tmp, path)
+    path = os.path.join(out_dir, "checkpoint.msgpack")
+    _write_atomic(path, serialization.msgpack_serialize(payload))
 
     if is_best:
-        best = {"params": serialization.to_bytes(_to_host(state.params))}
-        bpath = os.path.join(out_dir, "model_best.pkl")
-        with open(bpath + ".tmp", "wb") as f:
-            pickle.dump(best, f)
-        os.replace(bpath + ".tmp", bpath)
+        bpath = os.path.join(out_dir, "model_best.msgpack")
+        _write_atomic(bpath, serialization.msgpack_serialize(
+            {"params": _to_host(state.params)}))
     return path
 
 
 def load_checkpoint(out_dir: str, state_template):
     """Restore (state, epoch, best_metric) from out_dir, or None if absent."""
-    path = os.path.join(out_dir, "checkpoint.pkl")
+    path = os.path.join(out_dir, "checkpoint.msgpack")
     if not os.path.exists(path):
         return None
     with open(path, "rb") as f:
-        payload = pickle.load(f)
+        payload = serialization.msgpack_restore(f.read())
     leaves_t, treedef = jax.tree_util.tree_flatten(state_template)
-    leaves = serialization.from_bytes(
-        jax.tree_util.tree_map(np.asarray, leaves_t), payload["state"])
+    stored = [payload["state"][k] for k in
+              sorted(payload["state"], key=int)] \
+        if isinstance(payload["state"], dict) else payload["state"]
+    assert len(stored) == len(leaves_t), (len(stored), len(leaves_t))
+    leaves = []
+    for got, want in zip(stored, leaves_t):
+        got = np.asarray(got)
+        assert got.shape == np.shape(want), (got.shape, np.shape(want))
+        leaves.append(got)
     state = jax.tree_util.tree_unflatten(treedef, leaves)
-    return state, payload["epoch"], payload["best_metric"]
+    return state, int(payload["epoch"]), float(payload["best_metric"])
 
 
 def load_best_params(out_dir: str, params_template):
-    path = os.path.join(out_dir, "model_best.pkl")
+    return load_params_file(os.path.join(out_dir, "model_best.msgpack"),
+                            params_template)
+
+
+def load_params_file(path: str, params_template) -> Any:
+    """Load a model_best.msgpack (or any {'params': tree} msgpack file)
+    against a params template for structural validation."""
     with open(path, "rb") as f:
-        payload = pickle.load(f)
-    return serialization.from_bytes(params_template, payload["params"])
+        payload = serialization.msgpack_restore(f.read())
+    return serialization.from_state_dict(params_template,
+                                         payload["params"])

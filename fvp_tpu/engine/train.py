@@ -78,13 +78,31 @@ def create_train_state(cfg: FVPConfig, model: FasterVoxelPose, rc,
     )
 
 
-def make_train_step_fn(cfg: FVPConfig, model: FasterVoxelPose):
-    """The un-jitted train step (state, heatmaps, rc, targets, meta) ->
-    (new_state, losses); wrap with jax.jit (single device) or with mesh
-    shardings (fvp_tpu.parallel.sharding)."""
+def make_train_step_fn(cfg: FVPConfig, model: FasterVoxelPose,
+                       backbone=None):
+    """The un-jitted train step (state, batch_input, rc, targets, meta
+    [, backbone_vars]) -> (new_state, losses); wrap with jax.jit (single
+    device) or with mesh shardings (fvp_tpu.parallel.sharding).
+
+    With `backbone`, batch_input is images (B, V, H, W, 3) run through the
+    FROZEN backbone inside the step — eval-mode BN, gradients cut — matching
+    the reference's image-source training (run/train.py:41-43 freezes the
+    backbone; lib/core/function.py:38-51 / faster_voxelpose.py:75 run it
+    per view in the train forward). Otherwise batch_input is precomputed
+    heatmaps (B, V, J, h, w)."""
     hdn_tx, jln_tx = make_optimizers(cfg)
 
-    def loss_fn(params, batch_stats, heatmaps, rc, targets, meta):
+    def loss_fn(params, batch_stats, batch_input, rc, targets, meta,
+                backbone_vars):
+        if backbone is not None:
+            B, V = batch_input.shape[:2]
+            flat = batch_input.reshape(B * V, *batch_input.shape[2:])
+            hm = backbone.apply(backbone_vars, flat, train=False)
+            # (B*V, h, w, J) -> (B, V, J, h, w); frozen: cut the backward
+            heatmaps = jax.lax.stop_gradient(
+                hm.reshape(B, V, *hm.shape[1:]).transpose(0, 1, 4, 2, 3))
+        else:
+            heatmaps = batch_input
         outputs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             heatmaps, rc, train=True, meta=meta,
@@ -96,10 +114,12 @@ def make_train_step_fn(cfg: FVPConfig, model: FasterVoxelPose):
         return hdn_total + losses["joint"], (losses,
                                              mutated["batch_stats"])
 
-    def train_step(state: TrainState, heatmaps, rc, targets, meta):
+    def train_step(state: TrainState, batch_input, rc, targets, meta,
+                   backbone_vars=None):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (losses, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, heatmaps, rc, targets, meta)
+            state.params, state.batch_stats, batch_input, rc, targets,
+            meta, backbone_vars)
 
         hdn_grads, jln_grads = _split(grads)
         hdn_params, jln_params = _split(state.params)
@@ -132,6 +152,6 @@ def make_train_step_fn(cfg: FVPConfig, model: FasterVoxelPose):
     return train_step
 
 
-def make_train_step(cfg: FVPConfig, model: FasterVoxelPose):
+def make_train_step(cfg: FVPConfig, model: FasterVoxelPose, backbone=None):
     """Single-device jitted train step."""
-    return jax.jit(make_train_step_fn(cfg, model))
+    return jax.jit(make_train_step_fn(cfg, model, backbone))

@@ -5,19 +5,27 @@ Behavioral reference: /root/reference/run/validate.py:94-154 and
 lib/core/function.py:126-183 (device-synchronized batch timing, first
 iteration excluded from FPS stats, fused poses concatenated then handed to
 the dataset evaluator).
+
+Multi-rig evaluation: the reference caches a projected sampling grid per
+sequence (lib/models/project_whole.py:149-159) so each batch implicitly uses
+its own calibration. Here rig constants are explicit step inputs, so eval
+batches are grouped by sequence (never crossing a rig boundary) and each
+batch is paired with its sequence's RigConstants; partial batches are padded
+to the full batch size to keep a single compiled executable, and poses are
+scattered back into record order for the evaluator.
 """
 
 from __future__ import annotations
 
 import time
-from typing import Callable, Optional
+from typing import Callable, Mapping, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from fvp_tpu.config import FVPConfig
-from fvp_tpu.data.loader import batch_iterator, prefetch
+from fvp_tpu.data.loader import build_samples, collate, prefetch
 from fvp_tpu.models.faster_voxelpose import FasterVoxelPose
 
 
@@ -45,33 +53,64 @@ def make_eval_step(cfg: FVPConfig, model: FasterVoxelPose,
     return eval_step
 
 
-def run_validation(cfg: FVPConfig, model, variables, dataset, rc,
+def eval_batches(dataset, batch_size: int):
+    """Yield (seq, record_indices, valid_count) batches in record order,
+    never crossing a sequence boundary; partial batches are right-padded by
+    repeating the last index so every batch has one compiled shape."""
+    by_seq: dict[str, list[int]] = {}
+    for i, rec in enumerate(dataset.records):
+        by_seq.setdefault(rec["seq"], []).append(i)
+    for seq, idxs in by_seq.items():
+        for s in range(0, len(idxs), batch_size):
+            chunk = idxs[s:s + batch_size]
+            valid = len(chunk)
+            if valid < batch_size:
+                chunk = chunk + [chunk[-1]] * (batch_size - valid)
+            yield seq, np.asarray(chunk), valid
+
+
+def run_validation(cfg: FVPConfig, model, variables, dataset, rcs,
                    backbone=None, backbone_vars=None,
                    batch_size: Optional[int] = None,
                    log: Callable[[str], None] = print) -> dict:
     """Run the full eval loop; returns dict with fused poses, fps stats and
-    (if the dataset has an evaluator) metrics."""
+    (if the dataset has an evaluator) metrics.
+
+    `rcs` is either a mapping {seq: RigConstants} (one entry per calibration,
+    matching dataset.rigs) or a single RigConstants applied to every batch
+    (single-rig datasets)."""
     bs = batch_size or cfg.test_batch_size
+    if not isinstance(rcs, Mapping):
+        rcs = {rec["seq"]: rcs for rec in dataset.records}
     eval_step = make_eval_step(cfg, model, backbone, backbone_vars)
 
-    all_poses = []
+    all_poses = None
     times = []
-    it = prefetch(batch_iterator(dataset, bs, shuffle=False))
-    for i, batch in enumerate(it):
+
+    def load(spec):
+        seq, idx, valid = spec
+        batch = collate(build_samples(dataset, idx, rng=None))
+        return seq, idx, valid, batch
+
+    it = prefetch(map(load, eval_batches(dataset, bs)))
+    for i, (seq, idx, valid, batch) in enumerate(it):
         x = batch.get("input_heatmaps", batch.get("images"))
         x = jnp.asarray(x)
         t0 = time.perf_counter()
-        poses = eval_step(variables, x, rc)
+        poses = eval_step(variables, x, rcs[seq])
         poses.block_until_ready()
         dt = time.perf_counter() - t0
-        times.append((dt, x.shape[0]))
-        all_poses.append(np.asarray(poses))
+        times.append((dt, valid))
+        poses = np.asarray(poses)
+        if all_poses is None:
+            all_poses = np.zeros((len(dataset),) + poses.shape[1:],
+                                 poses.dtype)
+        all_poses[idx[:valid]] = poses[:valid]
         if i % cfg.print_freq == 0:
-            log(f"eval [{i}] batch {dt * 1000:.1f} ms "
-                f"({x.shape[0] / dt:.1f} samples/s)")
+            log(f"eval [{i}] seq {seq} batch {dt * 1000:.1f} ms "
+                f"({valid / dt:.1f} samples/s)")
 
-    fused = np.concatenate(all_poses, axis=0)
-    result: dict = {"fused_poses": fused}
+    result: dict = {"fused_poses": all_poses}
 
     if len(times) > 1:   # exclude compile/warm-up like the reference
         samples = sum(n for _, n in times[1:])
@@ -84,5 +123,5 @@ def run_validation(cfg: FVPConfig, model, variables, dataset, rc,
         }
 
     if getattr(dataset, "has_evaluate_function", False):
-        result["metrics"] = dataset.evaluate(fused)
+        result["metrics"] = dataset.evaluate(all_poses)
     return result

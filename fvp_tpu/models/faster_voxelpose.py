@@ -198,9 +198,17 @@ class FasterVoxelPose(nn.Module):
             planes.reshape(3 * B * K, *planes.shape[2:]), train)
         feats3 = feats.reshape(3, B * K, nx, nx, J)
 
-        coords, confs = soft_argmax(
-            feats3.reshape(3, B * K, nx * nx, J),
-            rc.center_grid, cfg.beta)                        # (3, BK, J, 2)
+        if use_pallas_sampling(cfg) and not train:
+            # fused single-pass kernel; inference only (the XLA path below
+            # provides the softmax backward for the joint loss)
+            from fvp_tpu.ops.pallas.softargmax import pallas_soft_argmax
+            coords, confs = pallas_soft_argmax(
+                feats3.reshape(3, B * K, nx * nx, J),
+                rc.center_grid, cfg.beta)                    # (3, BK, J, 2)
+        else:
+            coords, confs = soft_argmax(
+                feats3.reshape(3, B * K, nx * nx, J),
+                rc.center_grid, cfg.beta)                    # (3, BK, J, 2)
 
         off = offsets.reshape(B * K, 1, 3)
         coords = jnp.stack([

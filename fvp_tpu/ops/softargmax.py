@@ -7,8 +7,10 @@ grid; the per-person confidence is the mean (over planes and joints) of the
 per-map max probability.
 
 The expectation `probs @ grid` is a (J, N) x (N, 2) matmul per plane —
-MXU-friendly. A fused single-pass Pallas variant lives in
-fvp_tpu/ops/pallas/softargmax.py.
+MXU-friendly. A fused single-pass Pallas variant
+(fvp_tpu/ops/pallas/softargmax.py) avoids the HBM round trips of the probs
+tensor and is used on the inference path; this XLA version remains the
+training path (it carries the softmax backward for the joint loss).
 """
 
 from __future__ import annotations

@@ -31,29 +31,29 @@ def shard_batch(mesh: Mesh, batch: Any, spec: Any) -> Any:
 
 
 def make_sharded_train_step(cfg: FVPConfig, model: FasterVoxelPose,
-                            mesh: Mesh):
-    """Jitted train step with (data, view)-sharded heatmaps and
-    data-sharded targets/meta; state and rig constants replicated."""
-    step_fn = make_train_step_fn(cfg, model)
+                            mesh: Mesh, backbone=None):
+    """Jitted train step with (data, view)-sharded batch input (heatmaps, or
+    images when a frozen backbone is given) and data-sharded targets/meta;
+    state, rig constants and backbone weights replicated."""
+    step_fn = make_train_step_fn(cfg, model, backbone)
     repl = NamedSharding(mesh, P())
-    hm_shard = NamedSharding(mesh, P("data", "view"))
+    in_shard = NamedSharding(mesh, P("data", "view"))
     data_shard = NamedSharding(mesh, P("data"))
 
     def spec_of(tree, sharding):
         return jax.tree_util.tree_map(lambda _: sharding, tree)
 
-    def sharded_step(state, heatmaps, rc, targets, meta):
-        return step_fn(state, heatmaps, rc, targets, meta)
-
-    def compiled(state, heatmaps, rc, targets, meta):
+    def compiled(state, batch_input, rc, targets, meta,
+                 backbone_vars=None):
         fn = jax.jit(
-            sharded_step,
-            in_shardings=(spec_of(state, repl), hm_shard, spec_of(rc, repl),
+            step_fn,
+            in_shardings=(spec_of(state, repl), in_shard, spec_of(rc, repl),
                           spec_of(targets, data_shard),
-                          spec_of(meta, data_shard)),
+                          spec_of(meta, data_shard),
+                          spec_of(backbone_vars, repl)),
             out_shardings=(spec_of(state, repl), None),
         )
-        return fn(state, heatmaps, rc, targets, meta)
+        return fn(state, batch_input, rc, targets, meta, backbone_vars)
 
     return compiled
 

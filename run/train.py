@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fvp_tpu.config import load_config
-from fvp_tpu.data.loader import collate, prefetch
+from fvp_tpu.data.loader import build_samples, collate, prefetch
 from fvp_tpu.data.registry import build_dataset
 from fvp_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
 from fvp_tpu.engine.train import create_train_state, make_train_step
@@ -55,7 +55,7 @@ def seq_grouped_batches(dataset, batch_size, seed, epoch):
     order = rng.permutation(len(chunks))
     for ci in order:
         seq, idxs = chunks[ci]
-        yield seq, collate([dataset.sample(int(i), rng=rng) for i in idxs])
+        yield seq, collate(build_samples(dataset, idxs, rng))
 
 
 def load_backbone(cfg):
@@ -122,7 +122,13 @@ def main():
             state, start_epoch, best = restored
             logger.info(f"resumed from epoch {start_epoch}")
 
-    step_fn = make_train_step(cfg, model)
+    # image-source training runs the FROZEN backbone inside the jitted step
+    # (reference lib/core/function.py:38-51); gt/pred sources bypass it
+    train_backbone = backbone if cfg.train_heatmap_src == "image" else None
+    if cfg.train_heatmap_src == "image" and backbone is None:
+        raise ValueError("TRAIN_HEATMAP_SRC=image requires "
+                         "NETWORK.PRETRAINED_BACKBONE")
+    step_fn = make_train_step(cfg, model, train_backbone)
     eval_step_every = max(len(train_ds) // cfg.batch_size, 1)
 
     for epoch in range(start_epoch, cfg.end_epoch):
@@ -133,27 +139,32 @@ def main():
             train_ds, cfg.batch_size, cfg.seed, epoch)))
         t_end = time.perf_counter()
         for i, (seq, batch) in enumerate(it):
-            heatmaps = jnp.asarray(batch["input_heatmaps"])
+            x = jnp.asarray(batch["images"] if train_backbone is not None
+                            else batch["input_heatmaps"])
             targets = jax.tree_util.tree_map(jnp.asarray, batch["targets"])
             meta = jax.tree_util.tree_map(jnp.asarray, batch["meta"])
-            state, losses = step_fn(state, heatmaps, rcs[seq], targets, meta)
+            state, losses = step_fn(state, x, rcs[seq], targets, meta,
+                                    backbone_vars)
+
+            losses = {k: float(v) for k, v in losses.items()}
+            for k in ("total", "2d_heatmaps", "1d_heatmaps", "bbox",
+                      "joint"):
+                meters[k].update(losses[k])
+            now = time.perf_counter()
+            meters["batch_time"].update(now - t_end)
+            t_end = now
 
             if i % cfg.print_freq == 0:
-                losses = {k: float(v) for k, v in losses.items()}
-                for k in ("total", "2d_heatmaps", "1d_heatmaps", "bbox",
-                          "joint"):
-                    meters[k].update(losses[k])
-                dt = time.perf_counter() - t_end
-                meters["batch_time"].update(dt / max(i, 1) if i else dt)
                 logger.info(
                     f"epoch {epoch} [{i}/{eval_step_every}] "
-                    f"loss {losses['total']:.5f} "
-                    f"(2d {losses['2d_heatmaps']:.5f} "
-                    f"1d {losses['1d_heatmaps']:.5f} "
-                    f"bbox {losses['bbox']:.5f} "
-                    f"joint {losses['joint']:.5f})")
+                    f"loss {meters['total'].avg:.5f} "
+                    f"(2d {meters['2d_heatmaps'].avg:.5f} "
+                    f"1d {meters['1d_heatmaps'].avg:.5f} "
+                    f"bbox {meters['bbox'].avg:.5f} "
+                    f"joint {meters['joint'].avg:.5f}) "
+                    f"batch {meters['batch_time'].avg * 1000:.0f} ms")
                 writer.add_scalars(int(state.step), **{
-                    f"train_loss_{k}": losses[k]
+                    f"train_loss_{k}": meters[k].avg
                     for k in ("total", "2d_heatmaps", "1d_heatmaps",
                               "bbox", "joint")})
 
@@ -162,11 +173,10 @@ def main():
             test_rcs = {seq: jax.tree_util.tree_map(
                 jnp.asarray, build_rig_constants(cfg, rig))
                 for seq, rig in test_ds.rigs.items()}
-            rc_eval = next(iter(test_rcs.values()))
             res = run_validation(
                 cfg, model,
                 {"params": state.params, "batch_stats": state.batch_stats},
-                test_ds, rc_eval, backbone=backbone,
+                test_ds, test_rcs, backbone=backbone,
                 backbone_vars=backbone_vars, log=logger.info)
             metrics = res.get("metrics", {})
             logger.info(f"epoch {epoch} metrics: {metrics}")

@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Validate CLI: `python run/validate.py --cfg configs/shelf/jln64.yaml
-[--checkpoint output/jln64/model_best.pkl]`.
+[--checkpoint output/jln64/model_best.msgpack]`.
 
 Behavioral reference: /root/reference/run/validate.py — load best weights,
 timed no-grad loop with device sync, FPS stats excluding warm-up, final
@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import pickle
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -36,7 +35,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg", required=True)
     parser.add_argument("--checkpoint", default=None,
-                        help="model_best.pkl from training")
+                        help="model_best.msgpack from training")
     args = parser.parse_args()
 
     cfg = load_config(args.cfg)
@@ -53,9 +52,10 @@ def main():
     rcs = {seq: jax.tree_util.tree_map(
         jnp.asarray, build_rig_constants(cfg, rig))
         for seq, rig in test_ds.rigs.items()}
-    rc = next(iter(rcs.values()))
+    rc = next(iter(rcs.values()))   # init-only sample rig
 
-    ckpt_path = args.checkpoint or os.path.join(out_dir, "model_best.pkl")
+    ckpt_path = args.checkpoint or os.path.join(out_dir,
+                                                "model_best.msgpack")
     hm_w, hm_h = cfg.heatmap_size
     sample = jnp.zeros((1, cfg.num_views, cfg.num_joints, hm_h, hm_w),
                        jnp.float32)
@@ -63,18 +63,15 @@ def main():
         lambda k, s: model.init(k, s, rc, train=False)
     )(jax.random.PRNGKey(0), sample)
     if os.path.exists(ckpt_path):
-        from flax import serialization
+        from fvp_tpu.engine.checkpoint import load_params_file
 
-        with open(ckpt_path, "rb") as f:
-            payload = pickle.load(f)
-        params = serialization.from_bytes(variables["params"],
-                                          payload["params"])
+        params = load_params_file(ckpt_path, variables["params"])
         variables = {**variables, "params": params}
         logger.info(f"loaded {ckpt_path}")
     else:
         logger.warning(f"no checkpoint at {ckpt_path}; random weights")
 
-    res = run_validation(cfg, model, variables, test_ds, rc,
+    res = run_validation(cfg, model, variables, test_ds, rcs,
                          backbone=backbone, backbone_vars=backbone_vars,
                          log=logger.info)
     if "fps" in res:

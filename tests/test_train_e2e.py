@@ -115,6 +115,129 @@ def test_checkpoint_roundtrip(tmp_path, rng):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
 
 
+def test_image_source_training_through_frozen_backbone(rng):
+    """TRAIN_HEATMAP_SRC=image: images flow through the frozen backbone
+    inside the jitted train step (reference lib/core/function.py:38-51,
+    run/train.py:41-43) and the pose-model params still train."""
+    from fvp_tpu.models.resnet import PoseResNet
+
+    # dataset cfg keeps gt-src so the synthetic factory can build targets;
+    # the step's image path is selected by passing `backbone` to
+    # make_train_step, exactly as run/train.py does for src=image
+    cfg = e2e_cfg(num_views=2, max_people=2, synthetic_max_people=1,
+                  image_size=(240, 128), heatmap_size=(60, 32),
+                  ori_image_size=(1920, 1080))
+    ds, rig = _dataset(rng, cfg)
+    rc = build_rig_constants(cfg, rig)
+    model = FasterVoxelPose(cfg=cfg)
+    backbone = PoseResNet(num_joints=cfg.num_joints, num_layers=18)
+
+    images = jnp.asarray(
+        rng.rand(cfg.batch_size, cfg.num_views, 128, 240, 3), jnp.float32)
+    backbone_vars = backbone.init(jax.random.PRNGKey(1), images[0],
+                                  train=False)
+
+    hm_w, hm_h = cfg.heatmap_size
+    sample_hm = jnp.zeros(
+        (cfg.batch_size, cfg.num_views, cfg.num_joints, hm_h, hm_w),
+        jnp.float32)
+    state = create_train_state(cfg, model, rc, sample_hm,
+                               jax.random.PRNGKey(0))
+    step = make_train_step(cfg, model, backbone)
+
+    batch = collate([ds.sample(i, rng=np.random.RandomState(i))
+                     for i in range(cfg.batch_size)])
+    targets = jax.tree_util.tree_map(jnp.asarray, batch["targets"])
+    meta = jax.tree_util.tree_map(jnp.asarray, batch["meta"])
+
+    p0 = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(),
+                                state.params)
+    for _ in range(3):
+        state, losses = step(state, images, rc, targets, meta,
+                             backbone_vars)
+    assert np.isfinite(float(losses["total"]))
+    assert int(state.step) == 3
+    # pose-model params moved; the frozen backbone is an untouched input
+    moved = sum(
+        float(np.abs(np.asarray(a) - b).sum())
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(p0)))
+    assert moved > 0.0
+
+
+def test_augmentation_flag_semantics(rng):
+    """DATASET.DATA_AUGMENTATION gates gt/pred heatmap augmentation for
+    regular datasets; SYNTHETIC.DATA_AUGMENTATION gates the synthetic
+    dataset (reference JointsDataset.py:62,414 / synthetic.py:31)."""
+    rig = random_rig(np.random.RandomState(0), num_views=3)
+
+    # synthetic dataset: driven by SYNTHETIC.DATA_AUGMENTATION only
+    ds0 = SyntheticDataset(e2e_cfg(synthetic_augmentation=False), rig,
+                           seed=3)
+    a = ds0.sample(0, rng=np.random.RandomState(7))["input_heatmaps"]
+    b = ds0.sample(0, rng=np.random.RandomState(8))["input_heatmaps"]
+    np.testing.assert_array_equal(a, b)   # off => deterministic
+
+    ds1 = SyntheticDataset(e2e_cfg(synthetic_augmentation=True), rig,
+                           seed=3)
+    assert ds1.data_augmentation and not ds1.cfg.data_augmentation
+    c = ds1.sample(0, rng=np.random.RandomState(7))["input_heatmaps"]
+    d = ds1.sample(0, rng=np.random.RandomState(8))["input_heatmaps"]
+    assert not np.array_equal(c, d)       # on => rng-driven
+
+    # non-synthetic dataset: driven by DATASET.DATA_AUGMENTATION
+    from fvp_tpu.data.base import PoseDataset
+    base = PoseDataset(e2e_cfg(data_augmentation=True,
+                               synthetic_augmentation=False),
+                       is_train=False)
+    base.rigs = {"s": rig}
+    base.records = [{**ds0.records[0], "seq": "s"}]
+    assert base.data_augmentation
+    e = base.sample(0, rng=np.random.RandomState(7))["input_heatmaps"]
+    f = base.sample(0, rng=np.random.RandomState(8))["input_heatmaps"]
+    assert not np.array_equal(e, f)
+
+
+def test_multi_rig_validation_matches_per_sequence(rng):
+    """Eval over a two-sequence dataset with different calibrations must
+    equal the per-sequence runs (VERDICT r1: the old loop applied one rig to
+    every batch; reference keeps a per-seq grid cache,
+    project_whole.py:149-159). Also exercises partial-batch padding and
+    interleaved record order."""
+    cfg = e2e_cfg(synthetic_num_data=3, test_batch_size=2)
+    ds_a, rig_a = _dataset(rng, cfg)
+    ds_b, rig_b = _dataset(rng, cfg)   # different random rig
+    rc_a = build_rig_constants(cfg, rig_a)
+    rc_b = build_rig_constants(cfg, rig_b)
+
+    merged = SyntheticDataset(cfg, rig_a, num_data=1, seed=3)
+    merged.rigs = {"a": rig_a, "b": rig_b}
+    merged.records = []
+    for i in range(3):   # interleave: a0 b0 a1 b1 a2 b2
+        merged.records.append({**ds_a.records[i], "seq": "a"})
+        merged.records.append({**ds_b.records[i], "seq": "b"})
+
+    model = FasterVoxelPose(cfg=cfg)
+    batch = collate([ds_a.sample(0)])
+    heatmaps = jnp.asarray(batch["input_heatmaps"])
+    variables = model.init(jax.random.PRNGKey(0), heatmaps, rc_a,
+                           train=False)
+
+    res = run_validation(cfg, model, variables, merged,
+                         {"a": rc_a, "b": rc_b}, log=lambda *_: None)
+    res_a = run_validation(cfg, model, variables, ds_a, rc_a,
+                           log=lambda *_: None)
+    res_b = run_validation(cfg, model, variables, ds_b, rc_b,
+                           log=lambda *_: None)
+    np.testing.assert_allclose(res["fused_poses"][0::2],
+                               res_a["fused_poses"], rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(res["fused_poses"][1::2],
+                               res_b["fused_poses"], rtol=1e-5, atol=1e-4)
+    # the two rigs must actually disagree for this test to mean anything
+    # (random weights detect nobody, so compare raw values exactly)
+    assert not np.array_equal(res_a["fused_poses"], res_b["fused_poses"])
+
+
 def test_validation_loop_and_evaluator(rng):
     cfg = e2e_cfg(synthetic_num_data=4, test_batch_size=2)
     ds, rig = _dataset(rng, cfg)
