@@ -7,7 +7,8 @@ zeroed, then a flat top-K picks the proposals.
 
 TPU mapping: `jax.lax.reduce_window` lowers the max pool onto the VPU;
 `jax.lax.top_k` handles selection. Under voxel-block sharding the max window
-needs a 1-cell halo at block seams (see fvp_tpu/parallel/).
+needs a 1-cell halo at block seams — fvp_tpu/parallel/spatial.py implements
+that (ppermute halo exchange + local NMS + gathered top-K merge).
 """
 
 from __future__ import annotations
