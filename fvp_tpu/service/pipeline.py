@@ -5,18 +5,32 @@ watchdog.
 Behavioral reference: /root/reference/run/service.py:720-827 — four OS
 processes (frame pump, RTSP reader, inference, visualization), queue sizes
 1 (frames) and 5 (results) with drop-oldest backpressure, a child-process
-watchdog in the main loop, and graceful shutdown through a shared stop flag.
+watchdog in the main loop over ALL children (:783-785), and graceful
+shutdown through a shared stop flag.
+
+Inference parity (:342-503): cameras come from a calibration file
+(setup_cameras, :285-339 — same K^-1 P extrinsics recovery as the custom
+dataset); with a configured backbone the raw frames are normalized and run
+through the frozen Pose-ResNet ON DEVICE inside the same jitted executable
+as the 3D pipeline (prepare_input + model(views=...), :448-465). Without a
+backbone (demo/synthetic mode) frames are down-converted to heatmap
+stand-ins so the topology stays drivable with no weights.
+
+Visualization parity (:506-717): the viz process composes the views,
+reprojects fused poses onto every camera quadrant, and either invokes the
+callback, saves JPEGs, or pipes the overlay into an ffmpeg RTSP restream
+(fvp_tpu/service/render.py).
 
 TPU specifics: the inference process owns the device; the jitted
-images->poses executable is compiled once at startup (persistent compilation
-cache makes restarts fast). Multi-host camera sharding reuses
-fvp_tpu.parallel's mesh machinery.
+frames->poses executable is compiled once at startup (persistent compilation
+cache makes restarts fast).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import multiprocessing as mp
+import os
 import queue
 import time
 from typing import Callable, Optional
@@ -31,11 +45,36 @@ class ServiceConfig:
     cfg_path: str = ""                   # experiment YAML
     rtsp_url: str = ""                   # empty -> synthetic source
     checkpoint: str = ""
+    calibration: str = ""                # custom-format calibration.json
     num_views: int = 4
     result_queue_size: int = 5
     target_fps: float = 30.0
     max_frames: Optional[int] = None     # None = run until stopped
+    view_mode: str = "callback"          # callback | save | rtsp | none
+    output_dir: str = "/tmp/fvp_service"
+    restream_url: str = ""               # rtsp:// target for view_mode=rtsp
     on_result: Optional[Callable] = None  # called in the viz process
+
+
+def _load_cfg(svc: ServiceConfig):
+    from fvp_tpu.config import FVPConfig, load_config
+    return (load_config(svc.cfg_path) if svc.cfg_path else
+            FVPConfig(num_views=svc.num_views))
+
+
+def _service_rig(svc: ServiceConfig, cfg):
+    """Camera setup: calibration file when provided (reference
+    setup_cameras, service.py:285-339), else the synthetic demo ring."""
+    if svc.calibration:
+        from fvp_tpu.data.custom import load_custom_calibration
+        rig = load_custom_calibration(svc.calibration)
+        if rig.num_cameras != cfg.num_views:
+            raise ValueError(
+                f"calibration has {rig.num_cameras} cameras, config "
+                f"expects {cfg.num_views}")
+        return rig
+    from __graft_entry__ import _panoptic_rig
+    return _panoptic_rig(cfg.num_views, cfg)
 
 
 def inference_process(svc: ServiceConfig, frame_q: FrameQueue,
@@ -46,15 +85,11 @@ def inference_process(svc: ServiceConfig, frame_q: FrameQueue,
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 
-    from fvp_tpu.config import FVPConfig, load_config
-    from fvp_tpu.data.images import IMAGENET_MEAN, IMAGENET_STD
     from fvp_tpu.geometry.grids import build_rig_constants
     from fvp_tpu.models.faster_voxelpose import FasterVoxelPose
-    from __graft_entry__ import _panoptic_rig
 
-    cfg = (load_config(svc.cfg_path) if svc.cfg_path else
-           FVPConfig(num_views=svc.num_views))
-    rig = _panoptic_rig(cfg.num_views, cfg)
+    cfg = _load_cfg(svc)
+    rig = _service_rig(svc, cfg)
     rc = jax.tree_util.tree_map(jnp.asarray, build_rig_constants(cfg, rig))
     model = FasterVoxelPose(cfg=cfg)
 
@@ -65,22 +100,41 @@ def inference_process(svc: ServiceConfig, frame_q: FrameQueue,
         lambda k, s: model.init(k, s, rc, train=False)
     )(jax.random.PRNGKey(0), sample)
     if svc.checkpoint:
-        import pickle
+        from fvp_tpu.engine.checkpoint import load_params_file
 
-        from flax import serialization
-        with open(svc.checkpoint, "rb") as f:
-            payload = pickle.load(f)
         variables = {
             **variables,
-            "params": serialization.from_bytes(variables["params"],
-                                               payload["params"]),
+            "params": load_params_file(svc.checkpoint,
+                                       variables["params"]),
         }
 
-    # heatmap-input fast path; image path would prepend the backbone here
-    fwd = jax.jit(lambda hm: model.apply(variables, hm, rc,
-                                         train=False)["fused_poses"])
+    backbone = backbone_vars = None
+    if cfg.pretrained_backbone:
+        import sys
 
-    from fvp_tpu.data.heatmaps import generate_input_heatmap  # noqa: F401
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))))
+        from run.train import load_backbone
+        backbone, backbone_vars = load_backbone(cfg)
+
+    if backbone is not None:
+        # production path: frames -> frozen backbone -> 3D pipeline, one
+        # executable (reference service.py:458-465 runs model(views=...))
+        @jax.jit
+        def fwd(images):
+            B, V = images.shape[:2]
+            flat = images.reshape(B * V, *images.shape[2:])
+            hm = backbone.apply(backbone_vars, flat, train=False)
+            heatmaps = hm.reshape(B, V, *hm.shape[1:]).transpose(
+                0, 1, 4, 2, 3)
+            return model.apply(variables, heatmaps, rc,
+                               train=False)["fused_poses"]
+
+        prepare = lambda views: _frames_to_images(cfg, views)  # noqa: E731
+    else:
+        fwd = jax.jit(lambda hm: model.apply(variables, hm, rc,
+                                             train=False)["fused_poses"])
+        prepare = lambda views: _frames_to_heatmaps(cfg, views)  # noqa: E731
 
     n_done = 0
     fps_win: list[float] = []
@@ -90,15 +144,14 @@ def inference_process(svc: ServiceConfig, frame_q: FrameQueue,
         except queue.Empty:
             continue
         t0 = time.perf_counter()
-        # production path: backbone heatmaps from images; here frames are
-        # already heatmap-like (synthetic) or preprocessed by the caller
-        hm = _frames_to_heatmaps(cfg, views)
-        poses = np.asarray(fwd(jnp.asarray(hm)))
+        x = prepare(views)
+        poses = np.asarray(fwd(jnp.asarray(x)))
         dt = time.perf_counter() - t0
         fps_win = (fps_win + [dt])[-30:]
         result_q.put({
             "timestamp": ts,
             "poses": poses[0],
+            "views": [v[::2, ::2] for v in views[:cfg.num_views]],
             "latency_ms": dt * 1000,
             "fps": len(fps_win) / sum(fps_win),
         })
@@ -108,9 +161,28 @@ def inference_process(svc: ServiceConfig, frame_q: FrameQueue,
             break
 
 
+def _frames_to_images(cfg, views) -> np.ndarray:
+    """Raw BGR frames -> (1, V, H, W, 3) normalized RGB batch at the
+    working resolution (reference prepare_input, service.py:258-282)."""
+    import cv2
+
+    from fvp_tpu.data.images import IMAGENET_MEAN, IMAGENET_STD
+
+    w, h = cfg.image_size
+    out = np.zeros((1, cfg.num_views, h, w, 3), np.float32)
+    for v, img in enumerate(views[:cfg.num_views]):
+        if img.ndim == 2:
+            img = img[..., None].repeat(3, axis=2)
+        if img.shape[0] != h or img.shape[1] != w:
+            img = cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+        rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+        out[0, v] = (rgb - IMAGENET_MEAN) / IMAGENET_STD
+    return out
+
+
 def _frames_to_heatmaps(cfg, views) -> np.ndarray:
-    """Down-convert raw views into per-joint heatmap stand-ins (synthetic
-    path; the image path runs the backbone on-device instead)."""
+    """Demo fallback (no backbone weights): down-convert raw views into
+    per-joint heatmap stand-ins so the full topology runs end to end."""
     import cv2
 
     hm_w, hm_h = cfg.heatmap_size
@@ -126,7 +198,26 @@ def _frames_to_heatmaps(cfg, views) -> np.ndarray:
 def visualization_process(svc: ServiceConfig, result_q: FrameQueue,
                           stop_flag) -> None:
     """Render loop at the target rate, reusing the last result when no new
-    one arrived (service.py:609-625)."""
+    one arrived (service.py:609-625); overlays reprojected poses and
+    dispatches per view_mode (callback / save / rtsp)."""
+    from fvp_tpu.geometry.transforms import get_resize_transform
+    from fvp_tpu.service.render import (
+        FFmpegRestream, compose_views, render_result_on_image,
+    )
+
+    cfg = _load_cfg(svc)
+    rig = _service_rig(svc, cfg)
+    resize_t = get_resize_transform(cfg.ori_image_size, cfg.image_size)
+    writer = None
+    if svc.view_mode == "rtsp" and svc.restream_url:
+        rows = max(2, (cfg.num_views + 1) // 2)
+        writer = FFmpegRestream(
+            svc.restream_url,
+            (cfg.image_size[0], cfg.image_size[1] // 2 * rows),
+            fps=svc.target_fps)
+    if svc.view_mode == "save":
+        os.makedirs(svc.output_dir, exist_ok=True)
+
     period = 1.0 / svc.target_fps
     last = None
     while not stop_flag.value:
@@ -135,11 +226,27 @@ def visualization_process(svc: ServiceConfig, result_q: FrameQueue,
             last = result_q.get(timeout=period)
         except queue.Empty:
             pass
-        if last is not None and svc.on_result is not None:
-            svc.on_result(last)
+        if last is not None:
+            if svc.view_mode in ("save", "rtsp"):
+                import cv2
+
+                img = compose_views(last["views"], cfg.image_size)
+                img = render_result_on_image(
+                    cfg, rig, resize_t, img, last["poses"],
+                    fps=last["fps"], latency_ms=last["latency_ms"])
+                if svc.view_mode == "save":
+                    cv2.imwrite(os.path.join(
+                        svc.output_dir,
+                        f"pose_{int(last['timestamp'] * 1000)}.jpg"), img)
+                elif writer is not None:
+                    writer.write(img)
+            if svc.on_result is not None:
+                svc.on_result(last)
         dt = time.perf_counter() - t0
         if dt < period:
             time.sleep(period - dt)
+    if writer is not None:
+        writer.close()
 
 
 def run_service(svc: ServiceConfig) -> None:
@@ -163,11 +270,18 @@ def run_service(svc: ServiceConfig) -> None:
                      args=(svc, result_q, stop_flag), daemon=True)
     viz.start()
 
+    children = {"source": source.proc, "inference": infer, "viz": viz}
     try:
         while not stop_flag.value:
             time.sleep(0.5)
-            if not infer.is_alive():       # watchdog (service.py:783-785)
-                stop_flag.value = 1
+            # watchdog over ALL children (reference service.py:783-785)
+            for name, proc in children.items():
+                if (proc is not None and not proc.is_alive()
+                        and not stop_flag.value):
+                    print(f"service: {name} process died; stopping",
+                          flush=True)
+                    stop_flag.value = 1
+                    break
     except KeyboardInterrupt:
         pass
     finally:

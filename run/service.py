@@ -33,18 +33,30 @@ def main():
     parser.add_argument("--cfg", default="")
     parser.add_argument("--rtsp_url", default="")
     parser.add_argument("--checkpoint", default="")
+    parser.add_argument("--calibration", default="",
+                        help="custom-format calibration.json "
+                             "(reference service.py:285-339)")
     parser.add_argument("--num_views", type=int, default=4)
     parser.add_argument("--max_frames", type=int, default=None)
     parser.add_argument("--fps", type=float, default=30.0)
+    parser.add_argument("--view_mode", default="callback",
+                        choices=("callback", "save", "rtsp", "none"))
+    parser.add_argument("--output_dir", default="/tmp/fvp_service")
+    parser.add_argument("--restream_url", default="",
+                        help="rtsp:// publish target for --view_mode rtsp")
     args = parser.parse_args()
 
     run_service(ServiceConfig(
         cfg_path=args.cfg,
         rtsp_url=args.rtsp_url,
         checkpoint=args.checkpoint,
+        calibration=args.calibration,
         num_views=args.num_views,
         target_fps=args.fps,
         max_frames=args.max_frames,
+        view_mode=args.view_mode,
+        output_dir=args.output_dir,
+        restream_url=args.restream_url,
         on_result=on_result,
     ))
 
