@@ -32,5 +32,8 @@ def build_dataset(name: str, cfg: FVPConfig, is_train: bool):
             from fvp_tpu.geometry.cameras import default_ring_rig
             rig = default_ring_rig(cfg.num_views, cfg.space_center,
                                    cfg.ori_image_size)
-        return SyntheticDataset(cfg, rig, seed=cfg.seed, is_train=is_train)
+        # held-out test split: disjoint scene seed so eval never sees a
+        # training scene
+        seed = cfg.seed if is_train else cfg.seed + 999983
+        return SyntheticDataset(cfg, rig, seed=seed, is_train=is_train)
     raise ValueError(f"unknown dataset {name!r}")

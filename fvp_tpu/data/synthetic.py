@@ -20,6 +20,7 @@ import numpy as np
 from fvp_tpu.config import FVPConfig
 from fvp_tpu.data.base import PoseDataset
 from fvp_tpu.data.poses import load_pose_library, procedural_pose_library
+from fvp_tpu.eval.ap import evaluate_ap_mpjpe
 from fvp_tpu.geometry.cameras import CameraRig, project_points_np
 from fvp_tpu.geometry.transforms import rotate_points
 
@@ -59,6 +60,16 @@ class SyntheticDataset(PoseDataset):
         rng = np.random.RandomState(seed)
         for _ in range(self.num_data):
             self.records.append(self._make_scene(rng))
+
+        # synthetic scenes carry exact GT joints, so the Panoptic
+        # AP/MPJPE protocol (eval/ap.py) applies verbatim; used for
+        # held-out metric runs when no real dataset is on the machine
+        self.has_evaluate_function = not is_train
+
+    def evaluate(self, fused_poses: np.ndarray) -> dict:
+        gts = [np.asarray(r["joints_3d"]) for r in self.records]
+        vis = [np.asarray(r["joints_3d_vis"]) for r in self.records]
+        return evaluate_ap_mpjpe(fused_poses, gts, vis)
 
     # ------------------------------------------------------------------
     def _random_center(self, rng, center_list):

@@ -93,3 +93,36 @@ def test_pcp_perfect_is_100(rng):
     res = evaluate_pcp(preds, gt_by_actor, convert=lambda p: p)
     assert res["avg_pcp"] > 0.999
     assert res["recall@500"] > 0.999
+
+
+def test_synthetic_heldout_split_and_evaluator():
+    """The synthetic test split must be scene-disjoint from train (different
+    seed) and expose the Panoptic AP/MPJPE protocol on its own GT."""
+    from fvp_tpu.config import FVPConfig
+    from fvp_tpu.data.registry import build_dataset
+
+    cfg = FVPConfig(num_views=3, synthetic_num_data=4,
+                    synthetic_max_people=2)
+    train = build_dataset("synthetic", cfg, is_train=True)
+    test = build_dataset("synthetic", cfg, is_train=False)
+
+    assert not train.has_evaluate_function
+    assert test.has_evaluate_function
+    tr0 = np.concatenate([j.ravel() for r in train.records
+                          for j in r["joints_3d"]])
+    te0 = np.concatenate([j.ravel() for r in test.records
+                          for j in r["joints_3d"]])
+    assert tr0.shape != te0.shape or not np.allclose(tr0, te0)
+
+    # feeding the GT back as predictions scores (near-)perfect
+    K, J = cfg.max_people, cfg.num_joints
+    preds = np.zeros((len(test), K, J, 5), np.float32)
+    preds[:, :, :, 3] = -1.0
+    for i, rec in enumerate(test.records):
+        for n, pose in enumerate(rec["joints_3d"]):
+            preds[i, n, :, 0:3] = pose
+            preds[i, n, :, 3] = n
+            preds[i, n, :, 4] = 0.9
+    m = test.evaluate(preds)
+    assert m["mpjpe@500"] < 1e-3
+    assert m["ap"][25] > 0.99
