@@ -20,17 +20,20 @@ Extra diagnostic timings (stage breakdown, batch-8 throughput) go to stderr.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+ITERS = int(os.environ.get("FVP_BENCH_ITERS", "20"))
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def time_fn(fn, *args, iters: int = 20, warmup: int = 3) -> float:
+def time_fn(fn, *args, iters: int = ITERS, warmup: int = 3) -> float:
     """Throughput timing with a scalar device fetch as the completion fence
     (block_until_ready alone proved unreliable on the tunneled runtime)."""
     import jax.numpy as jnp
@@ -50,6 +53,10 @@ def time_fn(fn, *args, iters: int = 20, warmup: int = 3) -> float:
 def main() -> None:
     import jax
 
+    if os.environ.get("FVP_PLATFORM"):
+        # CPU smoke runs (e.g. FVP_PLATFORM=cpu FVP_BENCH_ITERS=2);
+        # the recorded benchmark always runs on the real chip
+        jax.config.update("jax_platforms", os.environ["FVP_PLATFORM"])
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

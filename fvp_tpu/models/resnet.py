@@ -93,12 +93,86 @@ class BasicResBlock(nn.Module):
         return nn.relu(out + residual.astype(out.dtype))
 
 
+class _S2DStem(nn.Module):
+    """The 7x7/s2 stem conv computed over a space-to-depth(2) input.
+
+    A 3-channel stride-2 conv maps terribly onto the MXU (the contraction
+    dim is 7*7*3 with channel minor = 3 of 128 lanes). Equivalent form:
+    pad the kernel to 8x8 at the front, space-to-depth both kernel and
+    input by 2, and run a stride-1 4x4 conv over 12 channels with
+    padding (2, 1). The parameter keeps the canonical (7, 7, 3, F) shape
+    ("conv1"/"kernel"), so torch conversion and checkpoints are unchanged;
+    numerics are exact (zero-fill only adds zero taps)."""
+    features: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (7, 7, 3, self.features))
+        wp = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        w2 = wp.reshape(4, 2, 4, 2, 3, self.features) \
+            .transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 12, self.features)
+        B, H, W, C = x.shape
+        xs = x.reshape(B, H // 2, 2, W // 2, 2, C) \
+            .transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+        return jax.lax.conv_general_dilated(
+            xs.astype(self.dtype), w2.astype(self.dtype), (1, 1),
+            ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32).astype(self.dtype)
+
+
+class _FusedDeconv(nn.Module):
+    """ConvTranspose(4x4, s2, SAME) as a 2x2 conv + depth-to-space.
+
+    XLA lowers transposed convs through input dilation, spending 4x4xCin
+    MACs per output where only 2x2xCin taps are nonzero — a 4x waste on
+    the backbone's widest layers (Cin up to 2048). Exact equivalent: pad
+    the input by 1, run one 2x2 VALID conv emitting all four output
+    parities as channels (K2[u, v, ci, (r, s, co)] = k[2u+1-r, 2v+1-s,
+    ci, co] — flax applies the transposed kernel flipped, derived and
+    pinned numerically in tests/test_resnet.py), depth-to-space, and
+    slice [1 : 2H+1]. The parameter keeps the ConvTranspose (4, 4, Cin,
+    Cout) shape so torch conversion and checkpoints are unchanged."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        cin = x.shape[-1]
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (4, 4, cin, self.features))
+        t = jnp.stack([k[1::2], k[0::2]], axis=0)        # (r, u, kw, ci, co)
+        t = jnp.stack([t[:, :, 1::2], t[:, :, 0::2]],
+                      axis=0)                            # (s, r, u, v, ci, co)
+        k2 = t.transpose(2, 3, 4, 1, 0, 5) \
+            .reshape(2, 2, cin, 4 * self.features)       # (u, v, ci, rs*co)
+        B, H, W, _ = x.shape
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        out = jax.lax.conv_general_dilated(
+            xp.astype(self.dtype), k2.astype(self.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)          # (B, H+1, W+1, 4F)
+        out = out.reshape(B, H + 1, W + 1, 2, 2, self.features)
+        out = out.transpose(0, 1, 3, 2, 4, 5) \
+            .reshape(B, 2 * H + 2, 2 * W + 2, self.features)
+        return out[:, 1:2 * H + 1, 1:2 * W + 1].astype(self.dtype)
+
+
 class PoseResNet(nn.Module):
     num_joints: int
     num_layers: int = 50
     deconv_filters: Sequence[int] = (256, 256, 256)
     final_kernel: int = 1
     dtype: Any = jnp.float32
+    # exact MXU-friendly rewrites of the stem and deconv head (see
+    # _S2DStem/_FusedDeconv); False falls back to the textbook modules
+    tpu_fused: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -108,8 +182,12 @@ class PoseResNet(nn.Module):
         expansion = 4 if kind == "bottleneck" else 1
         d = self.dtype
 
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=d, name="conv1")(x)
+        if self.tpu_fused:
+            x = _S2DStem(64, dtype=d, name="conv1")(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2),
+                        padding=((3, 3), (3, 3)),
+                        use_bias=False, dtype=d, name="conv1")(x)
         x = _BN(dtype=d, name="bn1")(x, train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -126,10 +204,13 @@ class PoseResNet(nn.Module):
             inplanes = planes * expansion
 
         for di, feats in enumerate(self.deconv_filters):
-            # torch ConvTranspose(k=4, s=2, p=1) == flax SAME (verified)
-            x = nn.ConvTranspose(feats, (4, 4), strides=(2, 2),
-                                 padding="SAME", use_bias=False, dtype=d,
-                                 name=f"deconv{di}")(x)
+            if self.tpu_fused:
+                x = _FusedDeconv(feats, dtype=d, name=f"deconv{di}")(x)
+            else:
+                # torch ConvTranspose(k=4, s=2, p=1) == flax SAME (verified)
+                x = nn.ConvTranspose(feats, (4, 4), strides=(2, 2),
+                                     padding="SAME", use_bias=False,
+                                     dtype=d, name=f"deconv{di}")(x)
             x = _BN(dtype=d, name=f"deconv_bn{di}")(x, train)
             x = nn.relu(x)
 

@@ -76,3 +76,31 @@ def test_resnet_output_resolution(rng):
     variables = model.init(jax.random.PRNGKey(0), x)
     out = model.apply(variables, x, train=False)
     assert out.shape == (1, 32, 48, 15)
+
+
+def test_tpu_fused_stem_and_deconv_parity(rng):
+    """The space-to-depth stem and the 2x2-conv+depth-to-space deconv are
+    exact rewrites: same param tree, same numerics as the textbook
+    nn.Conv(7x7, s2) / nn.ConvTranspose(4x4, s2) path."""
+    import jax
+
+    x = jnp.asarray(rng.rand(2, 64, 96, 3).astype(np.float32))
+    ref = PoseResNet(num_joints=5, num_layers=18, tpu_fused=False)
+    fused = PoseResNet(num_joints=5, num_layers=18, tpu_fused=True)
+
+    variables = ref.init(jax.random.PRNGKey(0), x, train=False)
+    y_ref = ref.apply(variables, x, train=False)
+    y_fused = fused.apply(variables, x, train=False)  # same tree, reused
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # gradients flow through the kernel rearrangement identically
+    def loss(m, v):
+        return jnp.sum(m.apply(v, x, train=False) ** 2)
+
+    g_ref = jax.grad(lambda v: loss(ref, v))(variables)["params"]
+    g_fused = jax.grad(lambda v: loss(fused, v))(variables)["params"]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3),
+        g_ref, g_fused)
