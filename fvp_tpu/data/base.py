@@ -100,11 +100,10 @@ class PoseDataset:
                 vis[bad] = 0
                 joints_2d.append(pose)
                 joints_vis.append(vis)
-            hm = None
-            if not augment:
-                from fvp_tpu.data.native import generate_input_heatmap_native
-                hm = generate_input_heatmap_native(cfg, joints_2d,
-                                                   joints_vis)
+            from fvp_tpu.data.native import generate_input_heatmap_native
+            hm = generate_input_heatmap_native(
+                cfg, joints_2d, joints_vis, augment=augment,
+                seed=int(rng.randint(0, 2 ** 31)) if augment else 0)
             if hm is None:
                 hm = generate_input_heatmap(
                     cfg, joints_2d, joints_vis=joints_vis, augment=augment,
@@ -126,9 +125,9 @@ class PoseDataset:
             mapped = [affine_apply(np.asarray(p)[:, :2],
                                    self.resize_transform)
                       for p in view_preds]
-            hm = None
-            if not augment:
-                hm = generate_input_heatmap_native(cfg, mapped)
+            hm = generate_input_heatmap_native(
+                cfg, mapped, augment=augment,
+                seed=int(rng.randint(0, 2 ** 31)) if augment else 0)
             if hm is None:
                 hm = generate_input_heatmap(cfg, mapped, augment=augment,
                                             rng=rng)

@@ -14,8 +14,6 @@ same math for the host-side hot loop and is used when available.
 
 from __future__ import annotations
 
-import random as _random
-
 import numpy as np
 
 from fvp_tpu.config import FVPConfig
@@ -72,14 +70,19 @@ def generate_input_heatmap(cfg: FVPConfig, joints, joints_vis=None,
                        / (2 * cur_sigma ** 2))
 
             if augment:
+                # gates draw from `rng` (not the global `random` module) so
+                # a seeded caller gets deterministic augmentation
                 scale = (0.9 + rng.randn(1) * 0.03
-                         if _random.random() < 0.6 else 1.0)
+                         if rng.random_sample() < 0.6 else 1.0)
                 if j in (7, 8):           # wrist group
-                    scale = scale * 0.5 if _random.random() < 0.1 else scale
+                    scale = (scale * 0.5 if rng.random_sample() < 0.1
+                             else scale)
                 elif j in (9, 10):        # ankle group
-                    scale = scale * 0.2 if _random.random() < 0.1 else scale
+                    scale = (scale * 0.2 if rng.random_sample() < 0.1
+                             else scale)
                 else:
-                    scale = scale * 0.5 if _random.random() < 0.05 else scale
+                    scale = (scale * 0.5 if rng.random_sample() < 0.05
+                             else scale)
                 g = g * scale
 
                 start = [int(rng.uniform(0, hm_h - 1)),

@@ -46,7 +46,10 @@ def get_lib():
     with _lock:
         if _lib is not None or _lib_failed:
             return _lib
-        if not os.path.exists(_LIB_PATH) and not _build():
+        stale = (not os.path.exists(_LIB_PATH)
+                 or (os.path.exists(_SRC)
+                     and os.path.getmtime(_SRC) > os.path.getmtime(_LIB_PATH)))
+        if stale and not _build():
             _lib_failed = True
             return None
         try:
@@ -59,17 +62,21 @@ def get_lib():
             ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, ctypes.c_uint64,
         ]
         lib.render_heatmaps.restype = None
         _lib = lib
         return _lib
 
 
-def generate_input_heatmap_native(cfg: FVPConfig, joints, joints_vis=None
+def generate_input_heatmap_native(cfg: FVPConfig, joints, joints_vis=None,
+                                  augment: bool = False, seed: int = 0
                                   ) -> np.ndarray | None:
-    """Native fast path for the non-augmented renderer. joints: list of
-    (J, >=2) arrays in working-image coords. Returns (J, hm_h, hm_w) or
-    None if the native library is unavailable."""
+    """Native fast path for the heatmap renderer (augmentation draws from a
+    seeded native RNG — same distribution as the numpy path, different
+    stream). joints: list of (J, >=2) arrays in working-image coords.
+    Returns (J, hm_h, hm_w) or None if the native library is
+    unavailable."""
     lib = get_lib()
     if lib is None or len(joints) == 0:
         return None
@@ -94,5 +101,6 @@ def generate_input_heatmap_native(cfg: FVPConfig, joints, joints_vis=None
         n_people, n_joints,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         hm_w, hm_h, ctypes.c_float(sx), ctypes.c_float(sy),
-        ctypes.c_float(cfg.sigma))
+        ctypes.c_float(cfg.sigma), int(bool(augment)),
+        ctypes.c_uint64(seed & (2 ** 64 - 1)))
     return out

@@ -87,9 +87,14 @@ def run_validation(cfg: FVPConfig, model, variables, dataset, rcs,
     all_poses = None
     times = []
 
+    # fixed eval RNG: when the dataset renders augmented heatmaps (e.g. the
+    # synthetic held-out protocol), every validation run — and both arms of
+    # a sampling-backend A/B — sees identical inputs
+    eval_rng = np.random.RandomState(cfg.seed + 20260817 % 99991)
+
     def load(spec):
         seq, idx, valid = spec
-        batch = collate(build_samples(dataset, idx, rng=None))
+        batch = collate(build_samples(dataset, idx, rng=eval_rng))
         return seq, idx, valid, batch
 
     it = prefetch(map(load, eval_batches(dataset, bs)))
