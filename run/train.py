@@ -73,10 +73,12 @@ def load_backbone(cfg):
         state = {k: v.numpy() for k, v in state.items()}
         variables = convert_torch_state(state, num_layers=cfg.resnet_layers)
     else:
-        import pickle
+        # native format: flax msgpack (no code execution on load), as
+        # written by tools/convert_backbone.py
+        from flax import serialization
 
         with open(path, "rb") as f:
-            variables = pickle.load(f)
+            variables = serialization.msgpack_restore(f.read())
     return backbone, variables
 
 

@@ -36,9 +36,15 @@ def main():
     parser.add_argument("--cfg", required=True)
     parser.add_argument("--checkpoint", default=None,
                         help="model_best.msgpack from training")
+    parser.add_argument("--sampling-backend", default=None,
+                        choices=["auto", "pallas", "exact"],
+                        help="override MODEL.SAMPLING_BACKEND (for "
+                             "pallas-vs-exact A/B evals)")
     args = parser.parse_args()
 
     cfg = load_config(args.cfg)
+    if args.sampling_backend:
+        cfg = cfg.replace(sampling_backend=args.sampling_backend)
     cfg_name = os.path.splitext(os.path.basename(args.cfg))[0]
     logger, out_dir = create_logger(cfg.output_dir, cfg_name, "validate")
 
