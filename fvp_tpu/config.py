@@ -93,6 +93,10 @@ class FVPConfig:
     lambda_loss_fused: float = 5.0
     accumulation_steps: int = 4    # HDN-loss gradient accumulation window
     data_augmentation: bool = False
+    # render gt/pred input heatmaps on device inside the jitted step
+    # (ops/heatmap_render.py) instead of on the host: ~600x less
+    # host->device traffic per batch
+    device_render: bool = False
 
     # --- synthetic data factory ------------------------------------------
     synthetic_camera_file: str = ""
@@ -155,6 +159,7 @@ def _apply_yaml(cfg_kw: dict[str, Any], doc: dict[str, Any]) -> None:
             take(sec, "TRAIN_HEATMAP_SRC", "train_heatmap_src", str)
             take(sec, "TEST_HEATMAP_SRC", "test_heatmap_src", str)
             take(sec, "DATA_AUGMENTATION", "data_augmentation", bool)
+            take(sec, "DEVICE_RENDER", "device_render", bool)
             if "ROOT_JOINT_ID" in sec:
                 rid = sec.pop("ROOT_JOINT_ID")
                 cfg_kw["root_joint_id"] = (

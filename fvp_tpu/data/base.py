@@ -21,7 +21,9 @@ from typing import Any, Mapping, Optional, Sequence
 import numpy as np
 
 from fvp_tpu.config import FVPConfig
-from fvp_tpu.data.heatmaps import generate_input_heatmap
+from fvp_tpu.data.heatmaps import (
+    compute_human_scale, generate_input_heatmap,
+)
 from fvp_tpu.data.targets import generate_target, root_center
 from fvp_tpu.geometry.cameras import CameraRig, project_points_np
 from fvp_tpu.geometry.transforms import affine_apply, get_resize_transform
@@ -73,15 +75,15 @@ class PoseDataset:
         }
 
     # ------------------------------------------------------------------
-    def _render_gt_heatmaps(self, rec, rng) -> np.ndarray:
-        """Project GT joints into every view and render gaussians with the
-        reference's visibility logic (JointsDataset.py:229-258)."""
+    def _project_gt_views(self, rec) -> tuple[list, list]:
+        """Project GT joints into every view with the reference's visibility
+        logic (JointsDataset.py:229-258). Returns per-view lists of
+        per-person (J, 2) working-image coords and (J,) visibility."""
         cfg = self.cfg
         rig = self.rig_for(rec["seq"])
         joints_3d = rec["joints_3d"]
         joints_3d_vis = rec["joints_3d_vis"]
-        out = []
-        augment = self.data_augmentation
+        views_2d, views_vis = [], []
         for c in range(rig.num_cameras):
             joints_2d, joints_vis = [], []
             for n in range(len(joints_3d)):
@@ -100,6 +102,16 @@ class PoseDataset:
                 vis[bad] = 0
                 joints_2d.append(pose)
                 joints_vis.append(vis)
+            views_2d.append(joints_2d)
+            views_vis.append(joints_vis)
+        return views_2d, views_vis
+
+    def _render_gt_heatmaps(self, rec, rng) -> np.ndarray:
+        cfg = self.cfg
+        views_2d, views_vis = self._project_gt_views(rec)
+        augment = self.data_augmentation
+        out = []
+        for joints_2d, joints_vis in zip(views_2d, views_vis):
             from fvp_tpu.data.native import generate_input_heatmap_native
             hm = generate_input_heatmap_native(
                 cfg, joints_2d, joints_vis, augment=augment,
@@ -110,6 +122,58 @@ class PoseDataset:
                     rng=rng)
             out.append(hm)
         return np.stack(out)
+
+    def pack_render_params(self, views_2d, views_vis, rng) -> dict:
+        """Fixed-shape per-sample payload for the on-device renderer
+        (ops/heatmap_render.py): projected coords, visibility, per-person
+        sigma, and host-drawn augmentation parameters. ~600x smaller than
+        the rendered heatmaps."""
+        cfg = self.cfg
+        V, P, J = len(views_2d), cfg.max_people, cfg.num_joints
+        hm_w, hm_h = cfg.heatmap_size
+        stride = (np.asarray(cfg.image_size, np.float64)
+                  / np.asarray(cfg.heatmap_size, np.float64))
+        mu = np.zeros((V, P, J, 2), np.int32)
+        vis = np.zeros((V, P, J), np.float32)
+        sig = np.zeros((V, P), np.float32)
+        scl = np.ones((V, P, J), np.float32)
+        occ = np.zeros((V, P, J, 4), np.int32)
+        augment = self.data_augmentation
+        for v in range(V):
+            people = views_2d[v][:P]
+            for n, pose in enumerate(people):
+                pose = np.asarray(pose, np.float64)[:, :2]
+                hs = 2.0 * compute_human_scale(pose / stride, np.ones(J))
+                if hs == 0.0:
+                    continue
+                sig[v, n] = cfg.sigma * np.sqrt(hs / (96.0 * 96.0))
+                # int() truncation in float64 — exactly the reference's
+                # mu = int(coord / feat_stride)
+                mu[v, n] = np.trunc(
+                    np.clip(pose / stride, -1e9, 1e9)).astype(np.int32)
+                pv = (views_vis[v][n] if views_vis is not None
+                      else np.ones(J))
+                vis[v, n] = np.asarray(pv, np.float32)
+                if augment:
+                    for j in range(J):
+                        s = (0.9 + rng.randn() * 0.03
+                             if rng.random_sample() < 0.6 else 1.0)
+                        if j in (7, 8):
+                            s = s * 0.5 if rng.random_sample() < 0.1 else s
+                        elif j in (9, 10):
+                            s = s * 0.2 if rng.random_sample() < 0.1 else s
+                        else:
+                            s = s * 0.5 if rng.random_sample() < 0.05 else s
+                        scl[v, n, j] = s
+                        y0 = int(rng.uniform(0, hm_h - 1))
+                        x0 = int(rng.uniform(0, hm_w - 1))
+                        y1 = int(min(y0 + rng.uniform(hm_h / 4,
+                                                      hm_h * 0.75), hm_h))
+                        x1 = int(min(x0 + rng.uniform(hm_w / 4,
+                                                      hm_w * 0.75), hm_w))
+                        occ[v, n, j] = (y0, y1, x0, x1)
+        return {"mu": mu, "vis": vis, "sigma": sig, "scale": scl,
+                "occ": occ}
 
     def _render_pred_heatmaps(self, rec, rng) -> np.ndarray:
         """Render heatmaps from offline per-view 2D predictions (already in
@@ -151,9 +215,21 @@ class PoseDataset:
                                            np.float32)
 
         if self.heatmap_src == "gt":
-            out["input_heatmaps"] = self._render_gt_heatmaps(rec, rng)
+            if self.cfg.device_render:
+                out["render_params"] = self.pack_render_params(
+                    *self._project_gt_views(rec), rng)
+            else:
+                out["input_heatmaps"] = self._render_gt_heatmaps(rec, rng)
         elif self.heatmap_src == "pred":
-            out["input_heatmaps"] = self._render_pred_heatmaps(rec, rng)
+            if self.cfg.device_render:
+                mapped = [[affine_apply(np.asarray(p)[:, :2],
+                                        self.resize_transform)
+                           for p in view_preds]
+                          for view_preds in rec["pred_pose2d"]]
+                out["render_params"] = self.pack_render_params(
+                    mapped, None, rng)
+            else:
+                out["input_heatmaps"] = self._render_pred_heatmaps(rec, rng)
         elif self.heatmap_src == "image":
             out["images"] = self._load_images(rec)
         else:

@@ -31,10 +31,15 @@ def compute_human_scale(pose: np.ndarray, joints_vis: np.ndarray) -> float:
 
 def generate_input_heatmap(cfg: FVPConfig, joints, joints_vis=None,
                            augment: bool = False,
-                           rng: np.random.RandomState | None = None
-                           ) -> np.ndarray:
+                           rng: np.random.RandomState | None = None,
+                           draws=None) -> np.ndarray:
     """joints: list of (J, >=2) arrays in WORKING-image pixel coords.
-    Returns (J, hm_h, hm_w) float32."""
+    Returns (J, hm_h, hm_w) float32.
+
+    draws: optional pre-drawn augmentation parameters
+    (scale (P, J) float, occ (P, J, 4) int [y0, y1, x0, x1)) — used by the
+    device-renderer parity tests to feed both implementations identical
+    randomness."""
     if rng is None:
         rng = np.random
     num_joints = joints[0].shape[0]
@@ -70,27 +75,32 @@ def generate_input_heatmap(cfg: FVPConfig, joints, joints_vis=None,
                        / (2 * cur_sigma ** 2))
 
             if augment:
-                # gates draw from `rng` (not the global `random` module) so
-                # a seeded caller gets deterministic augmentation
-                scale = (0.9 + rng.randn(1) * 0.03
-                         if rng.random_sample() < 0.6 else 1.0)
-                if j in (7, 8):           # wrist group
-                    scale = (scale * 0.5 if rng.random_sample() < 0.1
-                             else scale)
-                elif j in (9, 10):        # ankle group
-                    scale = (scale * 0.2 if rng.random_sample() < 0.1
-                             else scale)
+                if draws is not None:
+                    scale = draws[0][n, j]
+                    start = [int(draws[1][n, j, 0]), int(draws[1][n, j, 2])]
+                    end = [int(draws[1][n, j, 1]), int(draws[1][n, j, 3])]
                 else:
-                    scale = (scale * 0.5 if rng.random_sample() < 0.05
-                             else scale)
+                    # gates draw from `rng` (not the global `random`
+                    # module) so a seeded caller gets deterministic
+                    # augmentation
+                    scale = (0.9 + rng.randn(1) * 0.03
+                             if rng.random_sample() < 0.6 else 1.0)
+                    if j in (7, 8):           # wrist group
+                        scale = (scale * 0.5 if rng.random_sample() < 0.1
+                                 else scale)
+                    elif j in (9, 10):        # ankle group
+                        scale = (scale * 0.2 if rng.random_sample() < 0.1
+                                 else scale)
+                    else:
+                        scale = (scale * 0.5 if rng.random_sample() < 0.05
+                                 else scale)
+                    start = [int(rng.uniform(0, hm_h - 1)),
+                             int(rng.uniform(0, hm_w - 1))]
+                    end = [int(min(start[0] + rng.uniform(
+                        hm_h / 4, hm_h * 0.75), hm_h)),
+                        int(min(start[1] + rng.uniform(
+                            hm_w / 4, hm_w * 0.75), hm_w))]
                 g = g * scale
-
-                start = [int(rng.uniform(0, hm_h - 1)),
-                         int(rng.uniform(0, hm_w - 1))]
-                end = [int(min(start[0]
-                               + rng.uniform(hm_h / 4, hm_h * 0.75), hm_h)),
-                       int(min(start[1]
-                               + rng.uniform(hm_w / 4, hm_w * 0.75), hm_w))]
                 g[start[0]:end[0], start[1]:end[1]] = 0.0
 
             g_x = max(0, -ul[0]), min(br[0], hm_w) - ul[0]

@@ -101,6 +101,15 @@ def make_train_step_fn(cfg: FVPConfig, model: FasterVoxelPose,
             # (B*V, h, w, J) -> (B, V, J, h, w); frozen: cut the backward
             heatmaps = jax.lax.stop_gradient(
                 hm.reshape(B, V, *hm.shape[1:]).transpose(0, 1, 4, 2, 3))
+        elif isinstance(batch_input, dict):
+            # render-params payload: splat the input gaussians on device
+            # (ops/heatmap_render.py) instead of hauling 59 MB of rendered
+            # heatmaps over the host link
+            from fvp_tpu.ops.heatmap_render import render_heatmaps_device
+            rp = batch_input
+            heatmaps = render_heatmaps_device(
+                cfg, rp["mu"], rp["vis"], rp["sigma"], rp["scale"],
+                rp["occ"])
         else:
             heatmaps = batch_input
         outputs, mutated = model.apply(
@@ -153,5 +162,7 @@ def make_train_step_fn(cfg: FVPConfig, model: FasterVoxelPose,
 
 
 def make_train_step(cfg: FVPConfig, model: FasterVoxelPose, backbone=None):
-    """Single-device jitted train step."""
-    return jax.jit(make_train_step_fn(cfg, model, backbone))
+    """Single-device jitted train step. The old state buffers are donated —
+    params/opt-state updates reuse their memory in place."""
+    return jax.jit(make_train_step_fn(cfg, model, backbone),
+                   donate_argnums=(0,))

@@ -33,8 +33,10 @@ def make_eval_step(cfg: FVPConfig, model: FasterVoxelPose,
                    backbone=None, backbone_vars=None):
     """Returns a jitted fn: (variables, batch_input, rc) -> fused poses.
 
-    With a backbone, batch_input is images (B, V, H, W, 3); otherwise
-    precomputed heatmaps (B, V, J, h, w)."""
+    batch_input is images (B, V, H, W, 3) with a backbone, a
+    render-params dict (device-side heatmap splatting,
+    ops/heatmap_render.py) when cfg.device_render, else precomputed
+    heatmaps (B, V, J, h, w)."""
 
     @jax.jit
     def eval_step(variables, batch_input, rc):
@@ -45,6 +47,12 @@ def make_eval_step(cfg: FVPConfig, model: FasterVoxelPose,
             # (B*V, h, w, J) -> (B, V, J, h, w)
             heatmaps = hm.reshape(B, V, *hm.shape[1:]).transpose(
                 0, 1, 4, 2, 3)
+        elif isinstance(batch_input, Mapping):
+            from fvp_tpu.ops.heatmap_render import render_heatmaps_device
+            rp = batch_input
+            heatmaps = render_heatmaps_device(
+                cfg, rp["mu"], rp["vis"], rp["sigma"], rp["scale"],
+                rp["occ"])
         else:
             heatmaps = batch_input
         out = model.apply(variables, heatmaps, rc, train=False)
@@ -99,8 +107,11 @@ def run_validation(cfg: FVPConfig, model, variables, dataset, rcs,
 
     it = prefetch(map(load, eval_batches(dataset, bs)))
     for i, (seq, idx, valid, batch) in enumerate(it):
-        x = batch.get("input_heatmaps", batch.get("images"))
-        x = jnp.asarray(x)
+        if "render_params" in batch:
+            x = jax.tree_util.tree_map(jnp.asarray, batch["render_params"])
+        else:
+            x = jnp.asarray(batch.get("input_heatmaps",
+                                      batch.get("images")))
         t0 = time.perf_counter()
         poses = eval_step(variables, x, rcs[seq])
         poses.block_until_ready()

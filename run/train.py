@@ -12,8 +12,14 @@ from __future__ import annotations
 
 import argparse
 import os
+import faulthandler
+import signal
 import sys
 import time
+
+# SIGUSR1 dumps all thread stacks to stderr — the way to diagnose a stall
+# (e.g. a dropped device-tunnel call) without killing the run
+faulthandler.register(signal.SIGUSR1, all_threads=True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -141,8 +147,13 @@ def main():
             train_ds, cfg.batch_size, cfg.seed, epoch)))
         t_end = time.perf_counter()
         for i, (seq, batch) in enumerate(it):
-            x = jnp.asarray(batch["images"] if train_backbone is not None
-                            else batch["input_heatmaps"])
+            if train_backbone is not None:
+                x = jnp.asarray(batch["images"])
+            elif "render_params" in batch:
+                x = jax.tree_util.tree_map(jnp.asarray,
+                                           batch["render_params"])
+            else:
+                x = jnp.asarray(batch["input_heatmaps"])
             targets = jax.tree_util.tree_map(jnp.asarray, batch["targets"])
             meta = jax.tree_util.tree_map(jnp.asarray, batch["meta"])
             state, losses = step_fn(state, x, rcs[seq], targets, meta,
