@@ -60,8 +60,13 @@ def test_sharded_train_matches_single_device(rng):
 
     state0 = create_train_state(cfg, model, rc, heatmaps,
                                 jax.random.PRNGKey(0))
+    # make_train_step donates the state buffers; keep a copy for the
+    # sharded run
+    state0_copy = jax.tree_util.tree_map(lambda x: jnp.array(np.asarray(x)),
+                                         state0)
     single = make_train_step(cfg, model)
     s_ref, losses_ref = single(state0, heatmaps, rc, targets, meta)
+    state0 = state0_copy
 
     mesh = make_mesh(4, 2)
     with mesh:
