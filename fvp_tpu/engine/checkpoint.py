@@ -47,9 +47,13 @@ def save_checkpoint(out_dir: str, state, epoch: int, best_metric: float,
     _write_atomic(path, serialization.msgpack_serialize(payload))
 
     if is_best:
+        # params AND batch_stats: eval with random-init BN running stats
+        # is garbage (the reference's model_best stores the full module
+        # state dict too, run/train.py:151-160)
         bpath = os.path.join(out_dir, "model_best.msgpack")
         _write_atomic(bpath, serialization.msgpack_serialize(
-            {"params": _to_host(state.params)}))
+            {"params": _to_host(state.params),
+             "batch_stats": _to_host(state.batch_stats)}))
     return path
 
 
@@ -80,9 +84,23 @@ def load_best_params(out_dir: str, params_template):
 
 
 def load_params_file(path: str, params_template) -> Any:
-    """Load a model_best.msgpack (or any {'params': tree} msgpack file)
-    against a params template for structural validation."""
+    """Load the params tree of a model_best.msgpack against a template for
+    structural validation."""
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     return serialization.from_state_dict(params_template,
                                          payload["params"])
+
+
+def load_model_file(path: str, variables_template) -> Any:
+    """Load a model_best.msgpack into a full variables dict
+    ({'params', 'batch_stats'}), validated against the template."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    out = dict(variables_template)
+    out["params"] = serialization.from_state_dict(
+        variables_template["params"], payload["params"])
+    if "batch_stats" in payload and "batch_stats" in variables_template:
+        out["batch_stats"] = serialization.from_state_dict(
+            variables_template["batch_stats"], payload["batch_stats"])
+    return out

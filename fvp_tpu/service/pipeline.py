@@ -100,13 +100,9 @@ def inference_process(svc: ServiceConfig, frame_q: FrameQueue,
         lambda k, s: model.init(k, s, rc, train=False)
     )(jax.random.PRNGKey(0), sample)
     if svc.checkpoint:
-        from fvp_tpu.engine.checkpoint import load_params_file
+        from fvp_tpu.engine.checkpoint import load_model_file
 
-        variables = {
-            **variables,
-            "params": load_params_file(svc.checkpoint,
-                                       variables["params"]),
-        }
+        variables = load_model_file(svc.checkpoint, variables)
 
     backbone = backbone_vars = None
     if cfg.pretrained_backbone:

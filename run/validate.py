@@ -69,10 +69,9 @@ def main():
         lambda k, s: model.init(k, s, rc, train=False)
     )(jax.random.PRNGKey(0), sample)
     if os.path.exists(ckpt_path):
-        from fvp_tpu.engine.checkpoint import load_params_file
+        from fvp_tpu.engine.checkpoint import load_model_file
 
-        params = load_params_file(ckpt_path, variables["params"])
-        variables = {**variables, "params": params}
+        variables = load_model_file(ckpt_path, variables)
         logger.info(f"loaded {ckpt_path}")
     else:
         logger.warning(f"no checkpoint at {ckpt_path}; random weights")

@@ -114,6 +114,17 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
 
+    # model_best must round-trip BOTH params and batch_stats — eval with
+    # random-init BN running stats silently produces garbage poses
+    from fvp_tpu.engine.checkpoint import load_model_file
+
+    variables = load_model_file(
+        str(tmp_path / "model_best.msgpack"),
+        {"params": state.params, "batch_stats": state.batch_stats})
+    for x, y in zip(jax.tree_util.tree_leaves(state.batch_stats),
+                    jax.tree_util.tree_leaves(variables["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
 
 def test_image_source_training_through_frozen_backbone(rng):
     """TRAIN_HEATMAP_SRC=image: images flow through the frozen backbone
