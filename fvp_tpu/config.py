@@ -69,6 +69,12 @@ class FVPConfig:
 
     # --- network ---------------------------------------------------------
     beta: float = 100.0            # soft-argmax temperature
+    # Pallas sampler y-band heights (rows of heatmap resident per tile):
+    # smaller = faster (the band is the matmul M dim) but clips more
+    # out-of-band samples; see ops/pallas/sampler.py band contract.
+    # Defaults validated on the converged synthetic eval (CORRECTNESS_r02)
+    jln_band_height: int = 16
+    whole_band_height: int = 32
     sigma: float = 3.0             # input-heatmap gaussian sigma (heatmap px)
     num_channel_joint_feat: int = 32
     num_channel_joint_hidden: int = 64
@@ -180,6 +186,8 @@ def _apply_yaml(cfg_kw: dict[str, Any], doc: dict[str, Any]) -> None:
             take(sec, "VOXELS_PER_AXIS", "ind_voxels_per_axis", _i3)
         elif sec_name == "NETWORK":
             take(sec, "BETA", "beta", float)
+            take(sec, "JLN_BAND_HEIGHT", "jln_band_height", int)
+            take(sec, "WHOLE_BAND_HEIGHT", "whole_band_height", int)
             take(sec, "SIGMA", "sigma", float)
             take(sec, "NUM_CHANNEL_JOINT_FEAT", "num_channel_joint_feat", int)
             take(sec, "NUM_CHANNEL_JOINT_HIDDEN", "num_channel_joint_hidden", int)

@@ -113,7 +113,8 @@ class FasterVoxelPose(nn.Module):
 
         if use_pallas_sampling(cfg):
             from fvp_tpu.ops.fast_sampling import project_whole_pallas_batched
-            volumes = project_whole_pallas_batched(heatmaps, rc, cfg)
+            volumes = project_whole_pallas_batched(
+                heatmaps, rc, cfg, band_height=cfg.whole_band_height)
         else:
             volumes = jax.vmap(lambda h: project_whole(h, rc, cfg))(heatmaps)
         hm2d, bbox_map = self.center_net(volumes, train)     # (B,X,Y,1),(B,X,Y,2)
@@ -186,7 +187,8 @@ class FasterVoxelPose(nn.Module):
                 sample_person_planes_pallas_batched,
             )
             planes, offsets = sample_person_planes_pallas_batched(
-                heatmaps, rc, cfg, centers, bbox, person_mask=person_mask)
+                heatmaps, rc, cfg, centers, bbox, person_mask=person_mask,
+                band_height=cfg.jln_band_height)
         else:
             cubes, offsets = jax.vmap(
                 lambda h, c, b: sample_person_cubes(h, rc, cfg, c, b)

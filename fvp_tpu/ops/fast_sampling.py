@@ -356,38 +356,21 @@ def sample_person_planes_pallas_batched(heatmaps: jax.Array,
                               hm_dtype=hm_dtype,
                               out_dtype=hm_dtype)     # (P, T, J, S)
 
-    # per-voxel validity in tiled layout (no cube-order materialization)
-    def voxel_valid(ctl, bb):
+    # fused masked tri-plane collapse: one pass over the tiled tensor in a
+    # second Pallas kernel (the XLA relayout + three full reductions cost
+    # ~3.6 ms/frame at flagship shapes — see ops/pallas/collapse.py)
+    from fvp_tpu.ops.pallas.collapse import collapse_planes_pallas
+
+    def person_bounds(ctl, bb):
         start, end, alive = _person_validity(ctl, bb, cfg)
-        fx = ctl[0] + jnp.arange(nx)
-        fy = ctl[1] + jnp.arange(ny)
-        fz = ctl[2] + jnp.arange(nz)
-        vx = ((fx >= start[0]) & (fx < end[0])).reshape(Tx, tx)
-        vy = ((fy >= start[1]) & (fy < end[1])).reshape(Ty, ty)
-        vz = ((fz >= start[2]) & (fz < end[2])).reshape(Tz, tz)
-        v = (vx[:, None, None, :, None, None]
-             & vy[None, :, None, None, :, None]
-             & vz[None, None, :, None, None, :]) & alive
-        return v.reshape(Tx * Ty * Tz, tx * ty * tz)  # (T, S)
+        end = jnp.where(alive, end, start)     # dead person: empty range
+        return start, end
 
-    vmask = jax.vmap(voxel_valid)(corner, flat_bbox)  # (P, T, S)
-    out6 = (out * vmask[:, :, None, :].astype(out.dtype)).reshape(
-        P, Tx, Ty, Tz, J, tx, ty, tz)
-
-    xy = jnp.max(out6, axis=(3, 7))                   # (P,Tx,Ty,J,tx,ty)
-    xz = jnp.max(out6, axis=(2, 6))                   # (P,Tx,Tz,J,tx,tz)
-    yz = jnp.max(out6, axis=(1, 5))                   # (P,Ty,Tz,J,ty,tz)
-
-    def assemble(m, TA, ta, TB, tb):
-        # (P, TA, TB, J, ta, tb) -> (P, TA*ta, TB*tb, J)
-        m = m.transpose(0, 1, 4, 2, 5, 3)
-        return m.reshape(P, TA * ta, TB * tb, J)
-
-    planes = jnp.stack([
-        assemble(xy, Tx, tx, Ty, ty),
-        assemble(xz, Tx, tx, Tz, tz),
-        assemble(yz, Ty, ty, Tz, tz),
-    ]).astype(jnp.float32)                            # (3, P, A, B, J)
+    start, end = jax.vmap(person_bounds)(corner, flat_bbox)
+    xy, xz, yz = collapse_planes_pallas(
+        out, start, end, corner, (Tx, Ty, Tz, tx, ty, tz), J,
+        interpret=interpret)
+    planes = jnp.stack([xy, xz, yz]).astype(jnp.float32)
     return planes, offset.reshape(B, K, 3)
 
 
