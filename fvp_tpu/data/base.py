@@ -129,7 +129,18 @@ class PoseDataset:
         sigma, and host-drawn augmentation parameters. ~600x smaller than
         the rendered heatmaps."""
         cfg = self.cfg
-        V, P, J = len(views_2d), cfg.max_people, cfg.num_joints
+        # the payload must cover every person the host renderer would
+        # splat, not just the model's proposal cap (SYNTHETIC.MAX_PEOPLE
+        # is independent of CAPTURE_SPEC.MAX_PEOPLE); P stays
+        # config-static so batches keep one compiled shape
+        V, J = len(views_2d), cfg.num_joints
+        P = max(cfg.max_people, cfg.synthetic_max_people)
+        if any(len(v) > P for v in views_2d) and not getattr(
+                self, "_warned_render_trunc", False):
+            self._warned_render_trunc = True
+            print(f"WARNING: device_render truncating scene to {P} "
+                  f"people (host renderer would splat all); raise "
+                  f"CAPTURE_SPEC.MAX_PEOPLE for full parity", flush=True)
         hm_w, hm_h = cfg.heatmap_size
         stride = (np.asarray(cfg.image_size, np.float64)
                   / np.asarray(cfg.heatmap_size, np.float64))
@@ -175,6 +186,14 @@ class PoseDataset:
         return {"mu": mu, "vis": vis, "sigma": sig, "scale": scl,
                 "occ": occ}
 
+    def _mapped_pred_views(self, rec) -> list:
+        """Offline per-view 2D predictions mapped into working-image
+        coordinates — the single source for both the host renderer and the
+        device render-params payload."""
+        return [[affine_apply(np.asarray(p)[:, :2], self.resize_transform)
+                 for p in view_preds]
+                for view_preds in rec["pred_pose2d"]]
+
     def _render_pred_heatmaps(self, rec, rng) -> np.ndarray:
         """Render heatmaps from offline per-view 2D predictions (already in
         original-image coordinates). Augmentation follows the same
@@ -185,10 +204,7 @@ class PoseDataset:
         from fvp_tpu.data.native import generate_input_heatmap_native
         augment = self.data_augmentation
         out = []
-        for view_preds in rec["pred_pose2d"]:
-            mapped = [affine_apply(np.asarray(p)[:, :2],
-                                   self.resize_transform)
-                      for p in view_preds]
+        for mapped in self._mapped_pred_views(rec):
             hm = generate_input_heatmap_native(
                 cfg, mapped, augment=augment,
                 seed=int(rng.randint(0, 2 ** 31)) if augment else 0)
@@ -222,12 +238,8 @@ class PoseDataset:
                 out["input_heatmaps"] = self._render_gt_heatmaps(rec, rng)
         elif self.heatmap_src == "pred":
             if self.cfg.device_render:
-                mapped = [[affine_apply(np.asarray(p)[:, :2],
-                                        self.resize_transform)
-                           for p in view_preds]
-                          for view_preds in rec["pred_pose2d"]]
                 out["render_params"] = self.pack_render_params(
-                    mapped, None, rng)
+                    self._mapped_pred_views(rec), None, rng)
             else:
                 out["input_heatmaps"] = self._render_pred_heatmaps(rec, rng)
         elif self.heatmap_src == "image":

@@ -16,14 +16,22 @@ from typing import Iterator, Optional
 import numpy as np
 
 _pool: Optional[ThreadPoolExecutor] = None
+_pool_size = 0
 _pool_lock = threading.Lock()
 
 
 def _get_pool(num_threads: int) -> ThreadPoolExecutor:
-    global _pool
+    """Shared sample-builder pool, grown (never shrunk) to the largest
+    requested size — a later caller asking for more threads than the
+    first is honored."""
+    global _pool, _pool_size
     with _pool_lock:
-        if _pool is None:
-            _pool = ThreadPoolExecutor(max_workers=num_threads,
+        if _pool is None or num_threads > _pool_size:
+            # the previous (smaller) pool is simply dropped: in-flight
+            # work on it completes, interpreter exit joins it via the
+            # executor's atexit hook
+            _pool_size = max(num_threads, _pool_size)
+            _pool = ThreadPoolExecutor(max_workers=_pool_size,
                                        thread_name_prefix="fvp-sample")
         return _pool
 

@@ -33,10 +33,15 @@ def make_eval_step(cfg: FVPConfig, model: FasterVoxelPose,
                    backbone=None, backbone_vars=None):
     """Returns a jitted fn: (variables, batch_input, rc) -> fused poses.
 
-    batch_input is images (B, V, H, W, 3) with a backbone, a
-    render-params dict (device-side heatmap splatting,
-    ops/heatmap_render.py) when cfg.device_render, else precomputed
-    heatmaps (B, V, J, h, w)."""
+    batch_input is images (B, V, H, W, 3) when the TEST heatmap source is
+    'image' (the backbone runs in-step), a render-params dict (device-side
+    heatmap splatting, ops/heatmap_render.py) when cfg.device_render, else
+    precomputed heatmaps (B, V, J, h, w). A loaded backbone is ignored for
+    gt/pred test sources — eval dispatch follows cfg.test_heatmap_src, not
+    backbone presence (a config may carry PRETRAINED_BACKBONE for training
+    while evaluating from rendered heatmaps)."""
+    if cfg.test_heatmap_src != "image":
+        backbone = None
 
     @jax.jit
     def eval_step(variables, batch_input, rc):
@@ -98,7 +103,7 @@ def run_validation(cfg: FVPConfig, model, variables, dataset, rcs,
     # fixed eval RNG: when the dataset renders augmented heatmaps (e.g. the
     # synthetic held-out protocol), every validation run — and both arms of
     # a sampling-backend A/B — sees identical inputs
-    eval_rng = np.random.RandomState(cfg.seed + 20260817 % 99991)
+    eval_rng = np.random.RandomState((cfg.seed + 20260817) % (2 ** 31))
 
     def load(spec):
         seq, idx, valid = spec

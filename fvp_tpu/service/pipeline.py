@@ -57,9 +57,19 @@ class ServiceConfig:
 
 
 def _load_cfg(svc: ServiceConfig):
+    """Experiment config with the camera count reconciled: the frame
+    source, model and visualization must all agree on one view count, so
+    the service flag wins over the YAML's CAMERA_NUM (a silently
+    zero-filled missing view would corrupt the fused poses)."""
     from fvp_tpu.config import FVPConfig, load_config
-    return (load_config(svc.cfg_path) if svc.cfg_path else
-            FVPConfig(num_views=svc.num_views))
+    if not svc.cfg_path:
+        return FVPConfig(num_views=svc.num_views)
+    cfg = load_config(svc.cfg_path)
+    if svc.num_views and svc.num_views != cfg.num_views:
+        print(f"service: overriding CAMERA_NUM {cfg.num_views} -> "
+              f"{svc.num_views} (frame source)", flush=True)
+        cfg = cfg.replace(num_views=svc.num_views)
+    return cfg
 
 
 def _service_rig(svc: ServiceConfig, cfg):
@@ -83,6 +93,10 @@ def inference_process(svc: ServiceConfig, frame_q: FrameQueue,
     import jax
     import jax.numpy as jnp
 
+    if os.environ.get("FVP_PLATFORM"):
+        # sitecustomize pins JAX_PLATFORMS; this is the working override
+        # (e.g. FVP_PLATFORM=cpu to drive the service without the chip)
+        jax.config.update("jax_platforms", os.environ["FVP_PLATFORM"])
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 
     from fvp_tpu.geometry.grids import build_rig_constants
@@ -144,13 +158,17 @@ def inference_process(svc: ServiceConfig, frame_q: FrameQueue,
         poses = np.asarray(fwd(jnp.asarray(x)))
         dt = time.perf_counter() - t0
         fps_win = (fps_win + [dt])[-30:]
-        result_q.put({
+        result = {
             "timestamp": ts,
             "poses": poses[0],
-            "views": [v[::2, ::2] for v in views[:cfg.num_views]],
             "latency_ms": dt * 1000,
             "fps": len(fps_win) / sum(fps_win),
-        })
+        }
+        if svc.view_mode in ("save", "rtsp"):
+            # the rendered composite needs the frames; callback/none
+            # modes skip serializing ~MBs of pixels through the queue
+            result["views"] = [v[::2, ::2] for v in views[:cfg.num_views]]
+        result_q.put(result)
         n_done += 1
         if svc.max_frames and n_done >= svc.max_frames:
             stop_flag.value = 1
@@ -216,27 +234,35 @@ def visualization_process(svc: ServiceConfig, result_q: FrameQueue,
 
     period = 1.0 / svc.target_fps
     last = None
+    fresh = False
     while not stop_flag.value:
         t0 = time.perf_counter()
         try:
             last = result_q.get(timeout=period)
+            fresh = True
         except queue.Empty:
-            pass
+            fresh = False
         if last is not None:
             if svc.view_mode in ("save", "rtsp"):
                 import cv2
 
-                img = compose_views(last["views"], cfg.image_size)
-                img = render_result_on_image(
-                    cfg, rig, resize_t, img, last["poses"],
-                    fps=last["fps"], latency_ms=last["latency_ms"])
-                if svc.view_mode == "save":
-                    cv2.imwrite(os.path.join(
-                        svc.output_dir,
-                        f"pose_{int(last['timestamp'] * 1000)}.jpg"), img)
-                elif writer is not None:
-                    writer.write(img)
-            if svc.on_result is not None:
+                if fresh or svc.view_mode == "rtsp":
+                    # rtsp re-pushes the last composite to hold the
+                    # stream's frame rate; save mode writes each result
+                    # once (re-writing an identical JPEG per tick is
+                    # pure I/O waste)
+                    img = compose_views(last["views"], cfg.image_size)
+                    img = render_result_on_image(
+                        cfg, rig, resize_t, img, last["poses"],
+                        fps=last["fps"], latency_ms=last["latency_ms"])
+                    if svc.view_mode == "save":
+                        cv2.imwrite(os.path.join(
+                            svc.output_dir,
+                            f"pose_{int(last['timestamp'] * 1000)}.jpg"),
+                            img)
+                    elif writer is not None:
+                        writer.write(img)
+            if svc.on_result is not None and fresh:
                 svc.on_result(last)
         dt = time.perf_counter() - t0
         if dt < period:

@@ -107,7 +107,10 @@ def render_result_on_image(cfg: FVPConfig, rig: CameraRig,
 class FFmpegRestream:
     """Publish rendered frames to an RTSP endpoint through an ffmpeg pipe
     (reference service.py:677-697). Degrades to a no-op with a warning when
-    ffmpeg is not installed."""
+    ffmpeg is not installed; reopens after a broken pipe with a backoff so
+    an unreachable target doesn't spawn one ffmpeg per frame."""
+
+    REOPEN_BACKOFF_S = 5.0
 
     def __init__(self, url: str, size, fps: float = 30.0):
         self.url = url
@@ -115,9 +118,13 @@ class FFmpegRestream:
         self.fps = fps
         self.proc: Optional[subprocess.Popen] = None
         self.dead = False
+        self._last_open = 0.0
         self._open()
 
     def _open(self) -> None:
+        import time
+
+        self._last_open = time.monotonic()
         cmd = [
             "ffmpeg", "-y", "-f", "rawvideo", "-pix_fmt", "bgr24",
             "-s", f"{self.size[0]}x{self.size[1]}", "-r", str(self.fps),
@@ -133,14 +140,20 @@ class FFmpegRestream:
             self.dead = True
 
     def write(self, frame: np.ndarray) -> None:
-        if self.dead or self.proc is None or self.proc.stdin is None:
+        import time
+
+        if self.dead:
+            return
+        if self.proc is None or self.proc.stdin is None:
+            if time.monotonic() - self._last_open >= self.REOPEN_BACKOFF_S:
+                self._open()
             return
         try:
             self.proc.stdin.write(np.ascontiguousarray(frame).tobytes())
         except BrokenPipeError:
-            print("RTSP restream pipe broke; reopening", flush=True)
+            print("RTSP restream pipe broke; will reopen after backoff",
+                  flush=True)
             self.close()
-            self._open()
 
     def close(self) -> None:
         if self.proc is not None:
@@ -150,4 +163,9 @@ class FFmpegRestream:
                 self.proc.wait(timeout=1)
             except Exception:
                 self.proc.terminate()
+                try:
+                    self.proc.wait(timeout=1)   # reap; no zombie
+                except Exception:
+                    self.proc.kill()
+                    self.proc.wait()
             self.proc = None

@@ -109,6 +109,10 @@ def main():
     logger.info(f"train: {len(train_ds)} frames, test: {len(test_ds)}")
 
     backbone, backbone_vars = load_backbone(cfg)
+    if backbone_vars is not None:
+        # device-put once: numpy trees passed to a jitted step re-transfer
+        # the full ResNet-50 host->device EVERY step otherwise
+        backbone_vars = jax.tree_util.tree_map(jnp.asarray, backbone_vars)
     model = FasterVoxelPose(cfg=cfg)
 
     # rig constants per sequence (device-resident, same shapes => one jit)
@@ -145,6 +149,7 @@ def main():
                    "batch_time")}
         it = prefetch(iter(seq_grouped_batches(
             train_ds, cfg.batch_size, cfg.seed, epoch)))
+        pending: list = []
         t_end = time.perf_counter()
         for i, (seq, batch) in enumerate(it):
             if train_backbone is not None:
@@ -159,15 +164,21 @@ def main():
             state, losses = step_fn(state, x, rcs[seq], targets, meta,
                                     backbone_vars)
 
-            losses = {k: float(v) for k, v in losses.items()}
-            for k in ("total", "2d_heatmaps", "1d_heatmaps", "bbox",
-                      "joint"):
-                meters[k].update(losses[k])
+            # keep losses as device scalars between prints: a float()
+            # here would sync host<->device every step and stall the
+            # async dispatch pipeline
+            pending.append(losses)
             now = time.perf_counter()
             meters["batch_time"].update(now - t_end)
             t_end = now
 
             if i % cfg.print_freq == 0:
+                for ls in pending:
+                    ls = {k: float(v) for k, v in ls.items()}
+                    for k in ("total", "2d_heatmaps", "1d_heatmaps",
+                              "bbox", "joint"):
+                        meters[k].update(ls[k])
+                pending.clear()
                 logger.info(
                     f"epoch {epoch} [{i}/{eval_step_every}] "
                     f"loss {meters['total'].avg:.5f} "
