@@ -35,11 +35,16 @@ def _write_atomic(path: str, data: bytes) -> None:
 
 
 def save_checkpoint(out_dir: str, state, epoch: int, best_metric: float,
-                    is_best: bool = False) -> str:
+                    is_best: bool = False, step_in_epoch: int = 0) -> str:
+    """step_in_epoch > 0 marks a MID-epoch checkpoint (periodic saves for
+    stall-resilient training on a flaky device link — see
+    tools/train_supervisor.py); resume fast-forwards the epoch's batch
+    stream to that step."""
     os.makedirs(out_dir, exist_ok=True)
     leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(state)]
     payload = {
         "epoch": epoch,
+        "step_in_epoch": int(step_in_epoch),
         "best_metric": float(best_metric),
         "state": leaves,
     }
@@ -75,7 +80,8 @@ def load_checkpoint(out_dir: str, state_template):
         assert got.shape == np.shape(want), (got.shape, np.shape(want))
         leaves.append(got)
     state = jax.tree_util.tree_unflatten(treedef, leaves)
-    return state, int(payload["epoch"]), float(payload["best_metric"])
+    return (state, int(payload["epoch"]), float(payload["best_metric"]),
+            int(payload.get("step_in_epoch", 0)))
 
 
 def load_best_params(out_dir: str, params_template):

@@ -93,6 +93,9 @@ def main():
     parser.add_argument("--cfg", required=True)
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--save-every", type=int, default=0,
+                        help="also checkpoint every N steps mid-epoch "
+                             "(stall resilience; 0 = per-epoch only)")
     args = parser.parse_args()
 
     cfg = load_config(args.cfg)
@@ -127,12 +130,13 @@ def main():
     any_rc = next(iter(rcs.values()))
     state = create_train_state(cfg, model, any_rc, sample_hm,
                                jax.random.PRNGKey(cfg.seed))
-    start_epoch, best = cfg.begin_epoch, -np.inf
+    start_epoch, best, start_step = cfg.begin_epoch, -np.inf, 0
     if args.resume:
         restored = load_checkpoint(out_dir, state)
         if restored:
-            state, start_epoch, best = restored
-            logger.info(f"resumed from epoch {start_epoch}")
+            state, start_epoch, best, start_step = restored
+            logger.info(f"resumed from epoch {start_epoch}"
+                        + (f" step {start_step}" if start_step else ""))
 
     # image-source training runs the FROZEN backbone inside the jitted step
     # (reference lib/core/function.py:38-51); gt/pred sources bypass it
@@ -152,6 +156,8 @@ def main():
         pending: list = []
         t_end = time.perf_counter()
         for i, (seq, batch) in enumerate(it):
+            if epoch == start_epoch and i < start_step:
+                continue       # fast-forward a mid-epoch resume
             if train_backbone is not None:
                 x = jnp.asarray(batch["images"])
             elif "render_params" in batch:
@@ -191,6 +197,10 @@ def main():
                     f"train_loss_{k}": meters[k].avg
                     for k in ("total", "2d_heatmaps", "1d_heatmaps",
                               "bbox", "joint")})
+
+            if args.save_every and i and i % args.save_every == 0:
+                save_checkpoint(out_dir, state, epoch, best,
+                                step_in_epoch=i + 1)
 
         is_best = True
         if getattr(test_ds, "has_evaluate_function", False):

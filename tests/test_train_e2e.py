@@ -107,8 +107,8 @@ def test_checkpoint_roundtrip(tmp_path, rng):
 
     save_checkpoint(str(tmp_path), state, epoch=3, best_metric=0.5,
                     is_best=True)
-    restored, epoch, best = load_checkpoint(str(tmp_path), state)
-    assert epoch == 3 and best == 0.5
+    restored, epoch, best, step = load_checkpoint(str(tmp_path), state)
+    assert epoch == 3 and best == 0.5 and step == 0
     a = jax.tree_util.tree_leaves(state.params)
     b = jax.tree_util.tree_leaves(restored.params)
     for x, y in zip(a, b):
