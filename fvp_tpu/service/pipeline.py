@@ -54,6 +54,7 @@ class ServiceConfig:
     output_dir: str = "/tmp/fvp_service"
     restream_url: str = ""               # rtsp:// target for view_mode=rtsp
     on_result: Optional[Callable] = None  # called in the viz process
+    cfg_obj: Optional[object] = None     # FVPConfig override (tests/embedding)
 
 
 def _load_cfg(svc: ServiceConfig):
@@ -62,9 +63,12 @@ def _load_cfg(svc: ServiceConfig):
     the service flag wins over the YAML's CAMERA_NUM (a silently
     zero-filled missing view would corrupt the fused poses)."""
     from fvp_tpu.config import FVPConfig, load_config
-    if not svc.cfg_path:
+    if svc.cfg_obj is not None:
+        cfg = svc.cfg_obj
+    elif not svc.cfg_path:
         return FVPConfig(num_views=svc.num_views)
-    cfg = load_config(svc.cfg_path)
+    else:
+        cfg = load_config(svc.cfg_path)
     if svc.num_views and svc.num_views != cfg.num_views:
         print(f"service: overriding CAMERA_NUM {cfg.num_views} -> "
               f"{svc.num_views} (frame source)", flush=True)
@@ -87,6 +91,15 @@ def _service_rig(svc: ServiceConfig, cfg):
     return _panoptic_rig(cfg.num_views, cfg)
 
 
+def pick_view_shards(n_devices: int, num_views: int) -> int:
+    """Largest divisor of the camera count that fits the device count: a
+    single frame (batch 1) scales over the view axis only, so serving
+    shards cameras and leaves any leftover devices idle rather than
+    splitting a view across devices (ragged per-view work defeats GSPMD)."""
+    return next(v for v in range(min(n_devices, num_views), 0, -1)
+                if num_views % v == 0)
+
+
 def inference_process(svc: ServiceConfig, frame_q: FrameQueue,
                       result_q: FrameQueue, stop_flag) -> None:
     """Model owner: consume frames, run the jitted pipeline, emit poses."""
@@ -97,6 +110,10 @@ def inference_process(svc: ServiceConfig, frame_q: FrameQueue,
         # sitecustomize pins JAX_PLATFORMS; this is the working override
         # (e.g. FVP_PLATFORM=cpu to drive the service without the chip)
         jax.config.update("jax_platforms", os.environ["FVP_PLATFORM"])
+    if os.environ.get("FVP_CPU_DEVICES"):
+        # virtual multi-device CPU mesh (rehearse the sharded service)
+        jax.config.update("jax_num_cpu_devices",
+                          int(os.environ["FVP_CPU_DEVICES"]))
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 
     from fvp_tpu.geometry.grids import build_rig_constants
@@ -127,7 +144,26 @@ def inference_process(svc: ServiceConfig, frame_q: FrameQueue,
         from run.train import load_backbone
         backbone, backbone_vars = load_backbone(cfg)
 
-    if backbone is not None:
+    # multi-device serving: shard the single-frame step over the camera
+    # axis — each device owns a subset of views' backbone + sampling, the
+    # volume's view-mean becomes an ICI collective (fvp_tpu/parallel).
+    # Rehearse without chips: FVP_PLATFORM=cpu FVP_CPU_DEVICES=N.
+    mesh = None
+    n_view = pick_view_shards(len(jax.devices()), cfg.num_views)
+    if n_view > 1:
+        from fvp_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(1, n_view)
+        print(f"service: sharding inference over {n_view} devices "
+              f"(view axis)", flush=True)
+
+    if mesh is not None:
+        from fvp_tpu.parallel.sharding import make_sharded_eval_step
+
+        step = make_sharded_eval_step(cfg, model, mesh, backbone=backbone,
+                                      backbone_vars=backbone_vars)
+        fwd = lambda x: step(variables, x, rc)             # noqa: E731
+    elif backbone is not None:
         # production path: frames -> frozen backbone -> 3D pipeline, one
         # executable (reference service.py:458-465 runs model(views=...))
         @jax.jit
@@ -139,11 +175,13 @@ def inference_process(svc: ServiceConfig, frame_q: FrameQueue,
                 0, 1, 4, 2, 3)
             return model.apply(variables, heatmaps, rc,
                                train=False)["fused_poses"]
-
-        prepare = lambda views: _frames_to_images(cfg, views)  # noqa: E731
     else:
         fwd = jax.jit(lambda hm: model.apply(variables, hm, rc,
                                              train=False)["fused_poses"])
+
+    if backbone is not None:
+        prepare = lambda views: _frames_to_images(cfg, views)  # noqa: E731
+    else:
         prepare = lambda views: _frames_to_heatmaps(cfg, views)  # noqa: E731
 
     n_done = 0

@@ -11,6 +11,7 @@ import pytest
 from fvp_tpu.geometry.transforms import get_resize_transform
 from fvp_tpu.service.pipeline import (
     ServiceConfig, _frames_to_heatmaps, _frames_to_images, _service_rig,
+    pick_view_shards, run_service,
 )
 from fvp_tpu.service.render import (
     FFmpegRestream, compose_views, render_result_on_image,
@@ -68,6 +69,33 @@ def test_restream_degrades_without_ffmpeg(monkeypatch, tmp_path):
     assert w.dead
     w.write(np.zeros((64, 64, 3), np.uint8))    # must not raise
     w.close()
+
+
+def test_pick_view_shards():
+    """Serving shards the camera axis with the largest divisor of the view
+    count that fits the device pool; leftover devices idle (batch is 1)."""
+    assert pick_view_shards(1, 5) == 1       # single device -> no sharding
+    assert pick_view_shards(8, 5) == 5       # 5 views on 8 devices
+    assert pick_view_shards(4, 5) == 1       # 5 is prime; 4 devices can't
+    assert pick_view_shards(4, 4) == 4
+    assert pick_view_shards(3, 4) == 2       # largest divisor <= 3
+    assert pick_view_shards(8, 6) == 6
+
+
+def test_service_end_to_end_sharded(monkeypatch, tmp_path):
+    """Full service topology on a 2-device virtual CPU mesh: synthetic
+    source -> view-sharded jitted inference -> overlay render -> JPEG save
+    (reference run/service.py:720-827), stopping itself after max_frames."""
+    cfg = tiny_config(num_views=2, heatmap_size=(60, 32),
+                      voxels_per_axis=(16, 16, 8),
+                      ind_voxels_per_axis=(8, 8, 8), max_people=3)
+    monkeypatch.setenv("FVP_PLATFORM", "cpu")
+    monkeypatch.setenv("FVP_CPU_DEVICES", "2")
+    out = tmp_path / "svc"
+    run_service(ServiceConfig(num_views=2, max_frames=2, view_mode="save",
+                              output_dir=str(out), target_fps=10.0,
+                              cfg_obj=cfg))
+    assert len(list(out.glob("pose_*.jpg"))) >= 1
 
 
 def test_service_rig_from_calibration(tmp_path, rng):
