@@ -73,13 +73,19 @@ def main() -> None:
     # Panoptic jln64 defaults; bf16 network compute = the serving config
     # (params stay f32; heads accumulate f32; sampling already runs the
     # MXU's bf16 path for f32 inputs)
-    cfg = FVPConfig(compute_dtype="bfloat16")
+    cfg = FVPConfig(
+        compute_dtype="bfloat16",
+        # A/B without editing: FVP_BACKBONE_HEAD=polyphase python bench.py
+        backbone_stem=os.environ.get("FVP_BACKBONE_STEM", "xla"),
+        backbone_head=os.environ.get("FVP_BACKBONE_HEAD", "xla"),
+    )
     rig = _panoptic_rig(cfg.num_views, cfg)
     rc = jax.tree_util.tree_map(jnp.asarray, build_rig_constants(cfg, rig))
     model = FasterVoxelPose(cfg=cfg)
     backbone = PoseResNet(num_joints=cfg.num_joints,
                           num_layers=cfg.resnet_layers,
-                          dtype=jnp.dtype(cfg.compute_dtype))
+                          dtype=jnp.dtype(cfg.compute_dtype),
+                          stem=cfg.backbone_stem, head=cfg.backbone_head)
 
     w, h = cfg.image_size
     hm_w, hm_h = cfg.heatmap_size

@@ -81,6 +81,10 @@ class FVPConfig:
     backbone: str = "resnet"       # '' to disable (heatmap-input datasets)
     resnet_layers: int = 50
     pretrained_backbone: str = ""
+    # TPU lowering modes for the backbone hot regions (numerically exact
+    # and checkpoint-compatible; see models/resnet.py PoseResNet docstring)
+    backbone_stem: str = "xla"     # xla | s2d
+    backbone_head: str = "xla"     # xla | fused | polyphase
 
     # --- training --------------------------------------------------------
     train_dataset: str = "panoptic"
@@ -194,6 +198,8 @@ def _apply_yaml(cfg_kw: dict[str, Any], doc: dict[str, Any]) -> None:
             take(sec, "PRETRAINED_BACKBONE", "pretrained_backbone", str)
         elif sec_name == "RESNET":
             take(sec, "NUM_LAYERS", "resnet_layers", int)
+            take(sec, "STEM", "backbone_stem", str)
+            take(sec, "HEAD", "backbone_head", str)
             for k in list(sec):
                 sec.pop(k)
         elif sec_name == "TRAIN":

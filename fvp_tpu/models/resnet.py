@@ -164,19 +164,124 @@ class _FusedDeconv(nn.Module):
         return out[:, 1:2 * H + 1, 1:2 * W + 1].astype(self.dtype)
 
 
+class _PolyphaseDeconv(nn.Module):
+    """ConvTranspose(4x4, s2, SAME) evaluated on a PHASE-BLOCKED tensor.
+
+    The cascade of three stride-2 deconvs is the backbone's second-hottest
+    region, and both standard lowerings pay for it: input-dilation spends
+    4x4xCin MACs per output with only 2x2xCin nonzero taps, and the
+    per-stage 2x2-conv + depth-to-space rewrite (_FusedDeconv) materializes
+    an interleaved 2x-resolution layout between every stage (measured
+    slower on v5e — relayout traffic).
+
+    This module never materializes the upsampled image. The full-res signal
+    x[2^k·a + p] is carried as y[a, p] — spatial blocks at the CONSTANT
+    backbone resolution with 2^k phase channels per axis — and one deconv
+    stage is exactly:
+
+      out[m] = K'[0] x[m-1] + K'[1] x[m]      (per axis; K'[u][r] =
+                                               k[2u+1-r], the verified
+                                               _FusedDeconv decomposition)
+
+    where the x[m-1] tap is a phase rotation with a one-block spatial
+    carry (two slices + concat, no relayout), so the whole stage collapses
+    into ONE dense matmul (B·Hb·Wb·P², 4C) @ (4C, 4F) — MXU-shaped
+    contraction (1024..8192) instead of three convs at 15-32-lane
+    occupancy — plus static phase re-indexing:
+
+      y'[2^{k+1} n + 2q + 0] = out[2^k n + q,     r=1]
+      y'[2^{k+1} n + 2q + 1] = out[2^k n + q + 1, r=0]
+
+    (the r/phase offsets absorb the SAME-padding crop of the canonical
+    lowering). The single depth-to-space happens once, after the last
+    stage, in PoseResNet. The parameter keeps the canonical ConvTranspose
+    (4, 4, Cin, Cout) shape/name so torch conversion and checkpoints are
+    unchanged; numerics are exact (parity-pinned in tests/test_resnet.py).
+    """
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, y):
+        import jax
+
+        # y: (B, Hb, Wb, Py, Px, C); full-res x[2^k a + p] == y[a, ..., p]
+        B, Hb, Wb, Py, Px, C = y.shape
+        F = self.features
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (4, 4, C, F))
+        # tap matrices K'[u, v]: (C, (r, s, F)) with
+        # K'[u, v][ci, r, s, f] = k[2u+1-r, 2v+1-s, ci, f]
+        t = jnp.stack([k[1::2], k[0::2]], axis=0)          # (r, u, kw, ci, f)
+        t = jnp.stack([t[:, :, 1::2], t[:, :, 0::2]],
+                      axis=1)                              # (r, s, u, v, ci, f)
+        kt = t.transpose(2, 3, 4, 0, 1, 5).reshape(2, 2, C, 4 * F)
+
+        # one zero block row/col at the spatial end: the boundary outputs
+        # tap x[N] = 0 (SAME padding of the canonical lowering)
+        yp = jnp.pad(y, ((0, 0), (0, 1), (0, 1), (0, 0), (0, 0), (0, 0)))
+
+        def prev(z, sa, pa):
+            """z_prev[a, q] = x[block a, phase q-1]: phase rotation with a
+            one-block spatial carry (x[-1] = 0 via the zero front pad)."""
+            pad = [(0, 0)] * 6
+            pad[sa] = (1, 0)
+            shifted = jnp.pad(z, pad)
+            shifted = jax.lax.slice_in_dim(shifted, 0, z.shape[sa], axis=sa)
+            carry = jax.lax.slice_in_dim(shifted, z.shape[pa] - 1,
+                                         z.shape[pa], axis=pa)
+            rest = jax.lax.slice_in_dim(z, 0, z.shape[pa] - 1, axis=pa)
+            return jnp.concatenate([carry, rest], axis=pa)
+
+        tap01 = prev(yp, 1, 3)                 # u=0: x[m-1, w]
+        taps = jnp.concatenate(
+            [prev(tap01, 2, 4),                # (u, v) = (0, 0)
+             tap01,                            # (0, 1)
+             prev(yp, 2, 4),                   # (1, 0)
+             yp], axis=-1)                     # (1, 1)
+        kk = jnp.concatenate([kt[0, 0], kt[0, 1], kt[1, 0], kt[1, 1]],
+                             axis=0)           # (4C, 4F)
+        out = jnp.einsum("bhwpqc,cf->bhwpqf", taps.astype(self.dtype),
+                         kk.astype(self.dtype),
+                         preferred_element_type=jnp.float32)
+        o = out.reshape(B, Hb + 1, Wb + 1, Py, Px, 2, 2, F)
+
+        # phase doubling, h axis: (Hb+1 blocks, Py, r) -> (Hb, 2Py)
+        even = o[:, :Hb, :, :, :, 1]
+        odd = jnp.concatenate(
+            [o[:, :Hb, :, 1:, :, 0], o[:, 1:, :, :1, :, 0]], axis=3)
+        oh = jnp.stack([even, odd], axis=4).reshape(
+            B, Hb, Wb + 1, 2 * Py, Px, 2, F)
+        # w axis: (Wb+1 blocks, Px, s) -> (Wb, 2Px)
+        even = oh[:, :, :Wb, :, :, 1]
+        odd = jnp.concatenate(
+            [oh[:, :, :Wb, :, 1:, 0], oh[:, :, 1:, :, :1, 0]], axis=4)
+        ow = jnp.stack([even, odd], axis=5).reshape(
+            B, Hb, Wb, 2 * Py, 2 * Px, F)
+        return ow.astype(self.dtype)
+
+
 class PoseResNet(nn.Module):
+    """Backbone with selectable TPU lowerings for the stem and deconv head.
+
+    stem: 'xla' (7x7/s2 conv) | 's2d' (_S2DStem space-to-depth rewrite).
+    head: 'xla' (ConvTranspose) | 'fused' (_FusedDeconv per-stage rewrite)
+          | 'polyphase' (_PolyphaseDeconv: all three stages phase-blocked
+          at constant resolution, one depth-to-space at the end).
+    All variants are numerically exact and checkpoint-compatible.
+
+    Measured on TPU v5e (bf16, 5x512x960): XLA's native lowering beats the
+    per-stage rewrites (stem 2.56 vs 4.46 ms, first deconv 1.96 vs 2.27 ms,
+    last deconv 2.86 vs 3.38 ms) — relayout traffic outweighs the dilation
+    savings the compiler already avoids. 'polyphase' removes exactly that
+    relayout traffic, which is why it is a separate mode to measure."""
     num_joints: int
     num_layers: int = 50
     deconv_filters: Sequence[int] = (256, 256, 256)
     final_kernel: int = 1
     dtype: Any = jnp.float32
-    # exact rewrites of the stem (space-to-depth) and deconv head
-    # (2x2 conv + depth-to-space) — kept for reference/experimentation but
-    # OFF by default: measured on TPU v5e (bf16, 5x512x960), XLA's native
-    # lowering beats both (stem 2.56 vs 4.46 ms, first deconv 1.96 vs
-    # 2.27 ms, last deconv 2.86 vs 3.38 ms) — the added relayout traffic
-    # outweighs the dilation savings the compiler already avoids
-    tpu_fused: bool = False
+    stem: str = "xla"
+    head: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -186,7 +291,7 @@ class PoseResNet(nn.Module):
         expansion = 4 if kind == "bottleneck" else 1
         d = self.dtype
 
-        if self.tpu_fused:
+        if self.stem == "s2d":
             x = _S2DStem(64, dtype=d, name="conv1")(x)
         else:
             x = nn.Conv(64, (7, 7), strides=(2, 2),
@@ -207,16 +312,29 @@ class PoseResNet(nn.Module):
                           name=f"layer{li + 1}_{bi}")(x, train)
             inplanes = planes * expansion
 
-        for di, feats in enumerate(self.deconv_filters):
-            if self.tpu_fused:
-                x = _FusedDeconv(feats, dtype=d, name=f"deconv{di}")(x)
-            else:
-                # torch ConvTranspose(k=4, s=2, p=1) == flax SAME (verified)
-                x = nn.ConvTranspose(feats, (4, 4), strides=(2, 2),
-                                     padding="SAME", use_bias=False,
-                                     dtype=d, name=f"deconv{di}")(x)
-            x = _BN(dtype=d, name=f"deconv_bn{di}")(x, train)
-            x = nn.relu(x)
+        if self.head == "polyphase":
+            # phase-blocked head: constant spatial res, one final d2s
+            y = x[:, :, :, None, None, :]
+            for di, feats in enumerate(self.deconv_filters):
+                y = _PolyphaseDeconv(feats, dtype=d,
+                                     name=f"deconv{di}")(y)
+                y = _BN(dtype=d, name=f"deconv_bn{di}")(y, train)
+                y = nn.relu(y)
+            B, Hb, Wb, Py, Px, F = y.shape
+            x = y.transpose(0, 1, 3, 2, 4, 5).reshape(
+                B, Hb * Py, Wb * Px, F)
+        else:
+            for di, feats in enumerate(self.deconv_filters):
+                if self.head == "fused":
+                    x = _FusedDeconv(feats, dtype=d, name=f"deconv{di}")(x)
+                else:
+                    # torch ConvTranspose(k=4, s=2, p=1) == flax SAME
+                    # (verified)
+                    x = nn.ConvTranspose(feats, (4, 4), strides=(2, 2),
+                                         padding="SAME", use_bias=False,
+                                         dtype=d, name=f"deconv{di}")(x)
+                x = _BN(dtype=d, name=f"deconv_bn{di}")(x, train)
+                x = nn.relu(x)
 
         pad = ((1, 1), (1, 1)) if self.final_kernel == 3 else "VALID"
         x = nn.Conv(self.num_joints,

@@ -69,7 +69,8 @@ def load_backbone(cfg):
         return None, None
     backbone = PoseResNet(num_joints=cfg.num_joints,
                           num_layers=cfg.resnet_layers,
-                          dtype=jnp.dtype(cfg.compute_dtype))
+                          dtype=jnp.dtype(cfg.compute_dtype),
+                          stem=cfg.backbone_stem, head=cfg.backbone_head)
     path = cfg.pretrained_backbone
     if path.endswith((".pth", ".tar")):
         import torch

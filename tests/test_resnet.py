@@ -85,8 +85,9 @@ def test_tpu_fused_stem_and_deconv_parity(rng):
     import jax
 
     x = jnp.asarray(rng.rand(2, 64, 96, 3).astype(np.float32))
-    ref = PoseResNet(num_joints=5, num_layers=18, tpu_fused=False)
-    fused = PoseResNet(num_joints=5, num_layers=18, tpu_fused=True)
+    ref = PoseResNet(num_joints=5, num_layers=18)
+    fused = PoseResNet(num_joints=5, num_layers=18, stem="s2d",
+                       head="fused")
 
     variables = ref.init(jax.random.PRNGKey(0), x, train=False)
     y_ref = ref.apply(variables, x, train=False)
@@ -104,3 +105,45 @@ def test_tpu_fused_stem_and_deconv_parity(rng):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3),
         g_ref, g_fused)
+
+
+def test_polyphase_head_parity(rng):
+    """The phase-blocked deconv head (constant-resolution matmuls + one
+    final depth-to-space) is an exact rewrite of the three ConvTranspose
+    stages: same param tree, same numerics, including odd spatial sizes
+    where the boundary carry terms matter."""
+    import jax
+
+    for h, w in ((64, 96), (96, 160)):   # second: odd head input (3, 5)
+        x = jnp.asarray(rng.rand(2, h, w, 3).astype(np.float32))
+        ref = PoseResNet(num_joints=5, num_layers=18)
+        poly = PoseResNet(num_joints=5, num_layers=18, head="polyphase")
+
+        variables = ref.init(jax.random.PRNGKey(0), x, train=False)
+        y_ref = ref.apply(variables, x, train=False)
+        y_poly = poly.apply(variables, x, train=False)  # same tree, reused
+        np.testing.assert_allclose(np.asarray(y_poly), np.asarray(y_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_polyphase_single_stage_vs_convtranspose(rng):
+    """One _PolyphaseDeconv stage (P=1 input) against nn.ConvTranspose
+    directly, pinning the kernel decomposition and the phase re-indexing
+    that absorbs the SAME-padding crop."""
+    import flax.linen as nn
+    import jax
+
+    from fvp_tpu.models.resnet import _PolyphaseDeconv
+
+    x = jnp.asarray(rng.rand(1, 5, 7, 16).astype(np.float32))
+    ct = nn.ConvTranspose(8, (4, 4), strides=(2, 2), padding="SAME",
+                          use_bias=False)
+    v = ct.init(jax.random.PRNGKey(1), x)
+    y_ref = ct.apply(v, x)
+
+    stage = _PolyphaseDeconv(8)
+    y = stage.apply({"params": v["params"]}, x[:, :, :, None, None, :])
+    assert y.shape == (1, 5, 7, 2, 2, 8)
+    got = y.transpose(0, 1, 3, 2, 4, 5).reshape(1, 10, 14, 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)

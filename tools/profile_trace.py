@@ -62,7 +62,8 @@ def main() -> None:
     model = FasterVoxelPose(cfg=cfg)
     backbone = PoseResNet(num_joints=cfg.num_joints,
                           num_layers=cfg.resnet_layers,
-                          dtype=jnp.dtype(cfg.compute_dtype))
+                          dtype=jnp.dtype(cfg.compute_dtype),
+                          stem=cfg.backbone_stem, head=cfg.backbone_head)
 
     w, h = cfg.image_size
     hm_w, hm_h = cfg.heatmap_size
