@@ -273,8 +273,11 @@ class PoseResNet(nn.Module):
     Measured on TPU v5e (bf16, 5x512x960): XLA's native lowering beats the
     per-stage rewrites (stem 2.56 vs 4.46 ms, first deconv 1.96 vs 2.27 ms,
     last deconv 2.86 vs 3.38 ms) — relayout traffic outweighs the dilation
-    savings the compiler already avoids. 'polyphase' removes exactly that
-    relayout traffic, which is why it is a separate mode to measure."""
+    savings the compiler already avoids. 'polyphase' removes the relayout
+    traffic but materializes the 4-tap concat (4x the activation bytes at
+    Cin up to 2048) and measured slower still: full backbone 9.11 ms vs
+    6.91 ms native on the same run (bench.py, ITERS=40, 2026-08-18). The
+    deconv head is HBM-bound, not MXU-bound — 'xla' stays the default."""
     num_joints: int
     num_layers: int = 50
     deconv_filters: Sequence[int] = (256, 256, 256)
