@@ -37,8 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fvp_tpu.config import FVPConfig
-from fvp_tpu.geometry.cameras import project_points_uv
-from fvp_tpu.geometry.grids import RigConstants, to_sample_px_uv
+from fvp_tpu.geometry.grids import RigConstants
 from fvp_tpu.ops.sampling import _person_validity, snap_centers
 
 # patch window (lanes x sublanes-ish; PW on the minor axis)
@@ -164,6 +163,41 @@ def _tile_validity(corner, bbox, cfg: FVPConfig, tdims):
     return v.reshape(-1)
 
 
+def _person_geom(cfg: FVPConfig, tile) -> tuple:
+    """Static geometry tuple for the in-kernel projection path (see
+    ops/pallas/sampler.py _step_coords): person-cube tile dims + the fine
+    voxel grid's pitch/origin (f32, matching _tile_positions exactly) +
+    the to_sample_px clamp constants."""
+    nx, ny, nz = cfg.ind_voxels_per_axis
+    tx, ty, tz = tile
+    space = np.asarray(cfg.space_size, np.float32)
+    centr = np.asarray(cfg.space_center, np.float32)
+    fine = np.asarray(cfg.fine_voxels_per_axis, np.float32)
+    pitch = space / (fine - np.float32(1.0))
+    origin = centr - space / np.float32(2.0)
+    w, h = cfg.heatmap_size
+    return (nx // tx, ny // ty, nz // tz, tx, ty, tz,
+            float(pitch[0]), float(pitch[1]), float(pitch[2]),
+            float(origin[0]), float(origin[1]), float(origin[2]),
+            float(max(cfg.ori_image_size)), float(w - 1.0), float(h - 1.0))
+
+
+def _pack_cam_params(rig, hm_t) -> jax.Array:
+    """(V, 27) f32 packed per-view camera parameters + the image->heatmap
+    affine, the SMEM-resident input of the in-kernel projection."""
+    V = rig.R.shape[0]
+    hm6 = jnp.broadcast_to(
+        jnp.asarray(hm_t, jnp.float32).reshape(1, 6), (V, 6))
+    return jnp.concatenate([
+        jnp.asarray(rig.R, jnp.float32).reshape(V, 9),
+        jnp.asarray(rig.T, jnp.float32).reshape(V, 3),
+        jnp.asarray(rig.f, jnp.float32).reshape(V, 2),
+        jnp.asarray(rig.c, jnp.float32).reshape(V, 2),
+        jnp.asarray(rig.k, jnp.float32).reshape(V, 3),
+        jnp.asarray(rig.p, jnp.float32).reshape(V, 2),
+        hm6], axis=1)
+
+
 def sample_person_cubes_pallas(heatmaps: jax.Array, rc: RigConstants,
                                cfg: FVPConfig, centers_mm: jax.Array,
                                bbox: jax.Array, person_mask=None,
@@ -171,47 +205,32 @@ def sample_person_cubes_pallas(heatmaps: jax.Array, rc: RigConstants,
                                interpret: bool = False,
                                hm_dtype=jnp.bfloat16):
     """Pallas-kernel person-cube sampler (fvp_tpu/ops/pallas/sampler.py):
-    projection coords computed in XLA (cheap VPU math), the fused
-    multi-view bilinear sample on the MXU. Same contract as
-    sample_person_cubes."""
-    from fvp_tpu.ops.pallas.sampler import pallas_tiled_sample
+    voxel tiles are projected in-kernel (VPU) from the person's cube
+    corner + packed camera params, then bilinearly sampled on the MXU.
+    Same contract as sample_person_cubes."""
+    from fvp_tpu.ops.pallas.sampler import pallas_tiled_sample_project
 
     V, J = heatmaps.shape[:2]
     nx, ny, nz = cfg.ind_voxels_per_axis
     P = centers_mm.shape[0]
     corner, offset = snap_centers(centers_mm, cfg)
     padded = pad_heatmaps(heatmaps)
-    rig = rc.rig
 
     tx, ty, tz = tile
     tdims = (nx // tx, ny // ty, nz // tz, tx, ty, tz)
-
-    def person_coords(ctl):
-        px, py, pz, _ = _tile_positions(ctl, cfg, tile)
-        T, S = px.shape
-
-        def view(R, Tr, f, c, k, p):
-            u, v = project_points_uv(
-                px.reshape(-1), py.reshape(-1), pz.reshape(-1),
-                R, Tr, f, c, k, p)
-            sx, sy = to_sample_px_uv(u, v, cfg, rc.hm_transform, xp=jnp)
-            return sx.reshape(T, S), sy.reshape(T, S)
-
-        sx_v, sy_v = jax.vmap(view)(rig.R, rig.T, rig.f, rig.c, rig.k,
-                                    rig.p)            # (V, T, S)
-        return sx_v.transpose(1, 0, 2), sy_v.transpose(1, 0, 2)
-
-    sx, sy = jax.vmap(person_coords)(corner)          # (P, T, V, S)
+    T = tdims[0] * tdims[1] * tdims[2]
+    S = tx * ty * tz
 
     tile_valid = jax.vmap(
         lambda ctl, bb: _tile_validity(ctl, bb, cfg, tdims))(corner, bbox)
     if person_mask is not None:
         tile_valid = tile_valid & person_mask[:, None]
 
-    out = pallas_tiled_sample(padded[None], sx, sy, tile_valid,
-                              PH=band_height, people_per_item=P,
-                              interpret=interpret,
-                              hm_dtype=hm_dtype)      # (P, T, J, S)
+    out = pallas_tiled_sample_project(
+        padded[None], corner, _pack_cam_params(rc.rig, rc.hm_transform),
+        tile_valid, T, S, _person_geom(cfg, tile),
+        PH=band_height, people_per_item=P, interpret=interpret,
+        hm_dtype=hm_dtype)                            # (P, T, J, S)
 
     def finalize(out_p, ctl, bb):
         cube = _untile(out_p, tdims, J)
@@ -314,7 +333,7 @@ def sample_person_planes_pallas_batched(heatmaps: jax.Array,
     Returns (planes (3, B*K, A, B, J), offsets (B, K, 3)) with planes[0] =
     xy (max over z), [1] = xz, [2] = yz — identical to
     collapse_planes(sample_person_cubes...)."""
-    from fvp_tpu.ops.pallas.sampler import pallas_tiled_sample
+    from fvp_tpu.ops.pallas.sampler import pallas_tiled_sample_project
 
     B, V, J = heatmaps.shape[:3]
     K = centers_mm.shape[1]
@@ -322,28 +341,11 @@ def sample_person_planes_pallas_batched(heatmaps: jax.Array,
     tx, ty, tz = tile
     Tx, Ty, Tz = nx // tx, ny // ty, nz // tz
     tdims = (Tx, Ty, Tz, tx, ty, tz)
-    rig = rc.rig
     P = B * K
 
     corner, offset = snap_centers(centers_mm.reshape(P, 3), cfg)
     padded = pad_heatmaps(heatmaps)
 
-    def person_coords(ctl):
-        px, py, pz, _ = _tile_positions(ctl, cfg, tile)
-        T, S = px.shape
-
-        def view(R, Tr, f, c, k, p):
-            u, v = project_points_uv(
-                px.reshape(-1), py.reshape(-1), pz.reshape(-1),
-                R, Tr, f, c, k, p)
-            sxx, syy = to_sample_px_uv(u, v, cfg, rc.hm_transform, xp=jnp)
-            return sxx.reshape(T, S), syy.reshape(T, S)
-
-        sx_v, sy_v = jax.vmap(view)(rig.R, rig.T, rig.f, rig.c, rig.k,
-                                    rig.p)
-        return sx_v.transpose(1, 0, 2), sy_v.transpose(1, 0, 2)
-
-    sx, sy = jax.vmap(person_coords)(corner)          # (P, T, V, S)
     flat_bbox = bbox.reshape(P, 2)
     tile_valid = jax.vmap(
         lambda ctl, bb: _tile_validity(ctl, bb, cfg, tdims))(
@@ -351,10 +353,11 @@ def sample_person_planes_pallas_batched(heatmaps: jax.Array,
     if person_mask is not None:
         tile_valid = tile_valid & person_mask.reshape(P)[:, None]
 
-    out = pallas_tiled_sample(padded, sx, sy, tile_valid, PH=band_height,
-                              people_per_item=K, interpret=interpret,
-                              hm_dtype=hm_dtype,
-                              out_dtype=hm_dtype)     # (P, T, J, S)
+    out = pallas_tiled_sample_project(
+        padded, corner, _pack_cam_params(rc.rig, rc.hm_transform),
+        tile_valid, Tx * Ty * Tz, tx * ty * tz, _person_geom(cfg, tile),
+        PH=band_height, people_per_item=K, interpret=interpret,
+        hm_dtype=hm_dtype, out_dtype=hm_dtype)        # (P, T, J, S)
 
     # fused masked tri-plane collapse: one pass over the tiled tensor in a
     # second Pallas kernel (the XLA relayout + three full reductions cost
@@ -387,35 +390,18 @@ def sample_person_cubes_pallas_batched(heatmaps: jax.Array,
     skipped — zeros — matching the reference's masked loop,
     joint_localization_net.py:148-151).
     Returns (cubes (B, K, X, Y, Z, J), offsets (B, K, 3))."""
-    from fvp_tpu.ops.pallas.sampler import pallas_tiled_sample
+    from fvp_tpu.ops.pallas.sampler import pallas_tiled_sample_project
 
     B, V, J = heatmaps.shape[:3]
     K = centers_mm.shape[1]
     nx, ny, nz = cfg.ind_voxels_per_axis
     tx, ty, tz = tile
     tdims = (nx // tx, ny // ty, nz // tz, tx, ty, tz)
-    rig = rc.rig
 
     corner, offset = snap_centers(
         centers_mm.reshape(B * K, 3), cfg)            # (B*K, 3)
     padded = pad_heatmaps(heatmaps)
 
-    def person_coords(ctl):
-        px, py, pz, _ = _tile_positions(ctl, cfg, tile)
-        T, S = px.shape
-
-        def view(R, Tr, f, c, k, p):
-            u, v = project_points_uv(
-                px.reshape(-1), py.reshape(-1), pz.reshape(-1),
-                R, Tr, f, c, k, p)
-            sxx, syy = to_sample_px_uv(u, v, cfg, rc.hm_transform, xp=jnp)
-            return sxx.reshape(T, S), syy.reshape(T, S)
-
-        sx_v, sy_v = jax.vmap(view)(rig.R, rig.T, rig.f, rig.c, rig.k,
-                                    rig.p)
-        return sx_v.transpose(1, 0, 2), sy_v.transpose(1, 0, 2)
-
-    sx, sy = jax.vmap(person_coords)(corner)          # (B*K, T, V, S)
     flat_bbox = bbox.reshape(B * K, 2)
     tile_valid = jax.vmap(
         lambda ctl, bb: _tile_validity(ctl, bb, cfg, tdims))(
@@ -423,9 +409,12 @@ def sample_person_cubes_pallas_batched(heatmaps: jax.Array,
     if person_mask is not None:
         tile_valid = tile_valid & person_mask.reshape(B * K)[:, None]
 
-    out = pallas_tiled_sample(padded, sx, sy, tile_valid, PH=band_height,
-                              people_per_item=K, interpret=interpret,
-                              hm_dtype=hm_dtype)
+    out = pallas_tiled_sample_project(
+        padded, corner, _pack_cam_params(rc.rig, rc.hm_transform),
+        tile_valid, tdims[0] * tdims[1] * tdims[2], tx * ty * tz,
+        _person_geom(cfg, tile),
+        PH=band_height, people_per_item=K, interpret=interpret,
+        hm_dtype=hm_dtype)
 
     def finalize(out_p, ctl, bb):
         cube = _untile(out_p, tdims, J)

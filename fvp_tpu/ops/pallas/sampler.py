@@ -47,11 +47,11 @@ from jax.experimental.pallas import tpu as pltpu
 from fvp_tpu.ops.fast_sampling import PAD
 
 
-def _one_tile(sx_ref, sy_ref, hm_ref, nt, num_views, PH, Hp, Wp, J, S):
+def _one_tile_from(coords, hm_ref, num_views, PH, Hp, Wp, J, S):
+    """coords: per-view list of ((1, S) sx, (1, S) sy) PADDED-frame pixel
+    coordinate values (PAD already added)."""
     def one_view(v, acc):
-        # v, nt are Python ints (static unroll): static leading indices
-        sx = sx_ref[0, nt, v:v + 1, :] + PAD       # (1, S), padded frame
-        sy = sy_ref[0, nt, v:v + 1, :] + PAD
+        sx, sy = coords[v]                         # (1, S), padded frame
 
         oy = jnp.floor(jnp.min(sy)) - 1.0
         oy = jnp.clip(oy, 0.0, Hp - PH)
@@ -102,12 +102,119 @@ def _sampler_kernel(valid_ref, sx_ref, sy_ref, hm_ref, out_ref, *,
 
     for nt in range(NT):
         valid = valid_ref[p, tg * NT + nt] > 0
+        coords = [(sx_ref[0, nt, v:v + 1, :] + PAD,
+                   sy_ref[0, nt, v:v + 1, :] + PAD)
+                  for v in range(num_views)]
 
         @pl.when(valid)
         def _():
-            out_ref[0, nt] = _one_tile(sx_ref, sy_ref, hm_ref, nt,
-                                       num_views, PH, Hp, Wp, J, S
-                                       ).astype(out_ref.dtype)
+            out_ref[0, nt] = _one_tile_from(coords, hm_ref, num_views, PH,
+                                            Hp, Wp, J, S).astype(out_ref.dtype)
+
+        @pl.when(jnp.logical_not(valid))
+        def _():
+            out_ref[0, nt] = jnp.zeros((J, S), out_ref.dtype)
+
+
+def _step_coords(corner_ref, cam_ref, p, tg, *, NT, S, num_views, geom):
+    """VPU projection of one grid step's NT voxel tiles through every view.
+
+    Replaces the XLA-side coordinate precompute (the (P, T, V, S) f32
+    sx/sy tensors cost ~105 MB of HBM round-trip per frame at flagship
+    shapes); here the same math — fvp_tpu/geometry/cameras.py
+    project_points_uv + grids.py to_sample_px_uv, kept expression-for-
+    expression identical — runs on (NT, S) vectors from ~30 SMEM scalars.
+
+    corner_ref: (P, 3) int32 fine-grid cube corners (scalar-prefetched);
+    cam_ref: (V, 27) f32 packed [R(9) row-major, T(3), f(2), c(2), k(3),
+    p(2), hm_transform(6) row-major];
+    geom: static (Tx, Ty, Tz, tx, ty, tz, pitch xyz, origin xyz, bound,
+    w-1, h-1).
+    Returns per-view [((NT, S) sx, (NT, S) sy)] in the UNPADDED heatmap
+    frame (same contract as the precomputed-coords inputs)."""
+    (Tx, Ty, Tz, tx, ty, tz, p0, p1, p2, o0, o1, o2,
+     bound, wm1, hm1) = geom
+    rows = jax.lax.broadcasted_iota(jnp.int32, (NT, S), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (NT, S), 1)
+    t = tg * NT + rows
+    tx_i = t // (Ty * Tz)
+    ty_i = (t // Tz) % Ty
+    tz_i = t % Tz
+    ix = lane // (ty * tz)
+    iy = (lane // tz) % ty
+    iz = lane % tz
+
+    c0 = corner_ref[p, 0]
+    c1 = corner_ref[p, 1]
+    c2 = corner_ref[p, 2]
+    # world-mm voxel positions (matches fast_sampling._tile_positions:
+    # origin + (corner + fine_index) * pitch)
+    px = o0 + (c0 + tx_i * tx + ix).astype(jnp.float32) * p0
+    py = o1 + (c1 + ty_i * ty + iy).astype(jnp.float32) * p1
+    pz = o2 + (c2 + tz_i * tz + iz).astype(jnp.float32) * p2
+
+    out = []
+    for v in range(num_views):
+        R00, R01, R02 = cam_ref[v, 0], cam_ref[v, 1], cam_ref[v, 2]
+        R10, R11, R12 = cam_ref[v, 3], cam_ref[v, 4], cam_ref[v, 5]
+        R20, R21, R22 = cam_ref[v, 6], cam_ref[v, 7], cam_ref[v, 8]
+        T0, T1, T2 = cam_ref[v, 9], cam_ref[v, 10], cam_ref[v, 11]
+        f0, f1 = cam_ref[v, 12], cam_ref[v, 13]
+        cx, cy = cam_ref[v, 14], cam_ref[v, 15]
+        k0, k1, k2 = cam_ref[v, 16], cam_ref[v, 17], cam_ref[v, 18]
+        q0, q1 = cam_ref[v, 19], cam_ref[v, 20]
+        h00, h01, h02 = cam_ref[v, 21], cam_ref[v, 22], cam_ref[v, 23]
+        h10, h11, h12 = cam_ref[v, 24], cam_ref[v, 25], cam_ref[v, 26]
+
+        # cameras.project_points_uv
+        wx, wy, wz = px - T0, py - T1, pz - T2
+        xc = R00 * wx + R01 * wy + R02 * wz
+        yc = R10 * wx + R11 * wy + R12 * wz
+        zc = R20 * wx + R21 * wy + R22 * wz + 1e-5
+        yx = xc / zc
+        yy = yc / zc
+        r2 = yx * yx + yy * yy
+        d = 1.0 + r2 * (k0 + r2 * (k1 + r2 * k2))
+        du = yx * d + 2.0 * q0 * yx * yy + q1 * (r2 + 2.0 * yx * yx)
+        dv = yy * d + 2.0 * q1 * yx * yy + q0 * (r2 + 2.0 * yy * yy)
+        u = f0 * du + cx
+        vv = f1 * dv + cy
+
+        # grids.to_sample_px_uv
+        u = jnp.clip(u, -1.0, bound)
+        vv = jnp.clip(vv, -1.0, bound)
+        x = h00 * u + h01 * vv + h02
+        y = h10 * u + h11 * vv + h12
+        gx = jnp.clip(x / wm1 * 2.0 - 1.0, -1.1, 1.1)
+        gy = jnp.clip(y / hm1 * 2.0 - 1.0, -1.1, 1.1)
+        out.append(((gx + 1.0) * 0.5 * wm1, (gy + 1.0) * 0.5 * hm1))
+    return out
+
+
+def _sampler_project_kernel(valid_ref, corner_ref, cam_ref, hm_ref, out_ref,
+                            *, num_views, PH, geom):
+    """Like _sampler_kernel, but computes the sample coordinates in-kernel
+    from the scalar-prefetched cube corners + camera parameters instead of
+    streaming precomputed (P, T, V, S) coordinate tensors from HBM."""
+    J = hm_ref.shape[2]
+    Hp, Wp = hm_ref.shape[3], hm_ref.shape[4]
+    NT = out_ref.shape[1]
+    S = out_ref.shape[3]
+    p = pl.program_id(0)
+    tg = pl.program_id(1)
+
+    step = _step_coords(corner_ref, cam_ref, p, tg, NT=NT, S=S,
+                        num_views=num_views, geom=geom)
+
+    for nt in range(NT):
+        valid = valid_ref[p, tg * NT + nt] > 0
+        coords = [(sx[nt:nt + 1, :] + PAD, sy[nt:nt + 1, :] + PAD)
+                  for sx, sy in step]
+
+        @pl.when(valid)
+        def _():
+            out_ref[0, nt] = _one_tile_from(coords, hm_ref, num_views, PH,
+                                            Hp, Wp, J, S).astype(out_ref.dtype)
 
         @pl.when(jnp.logical_not(valid))
         def _():
@@ -174,3 +281,60 @@ def pallas_tiled_sample(padded_hm: jax.Array, sx: jax.Array, sy: jax.Array,
         out_shape=jax.ShapeDtypeStruct((P, T, J, S), out_dtype),
         interpret=interpret,
     )(tile_valid.astype(jnp.int32), sx, sy, padded_hm.astype(hm_dtype))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_tiles", "samples_per_tile", "geom", "PH",
+                     "tiles_per_step", "people_per_item", "interpret",
+                     "hm_dtype", "out_dtype"))
+def pallas_tiled_sample_project(padded_hm: jax.Array, corner: jax.Array,
+                                cam: jax.Array, tile_valid: jax.Array,
+                                num_tiles: int, samples_per_tile: int,
+                                geom: tuple, PH: int = 32,
+                                tiles_per_step: int = 8,
+                                people_per_item: int = 1,
+                                interpret: bool = False,
+                                hm_dtype=jnp.bfloat16,
+                                out_dtype=jnp.float32) -> jax.Array:
+    """Per-person sampler with IN-KERNEL projection: same output contract
+    as pallas_tiled_sample, but instead of (P, T, V, S) precomputed pixel
+    coordinates it takes per-person fine-grid cube corners (P, 3) int32 and
+    packed per-view camera parameters (V, 27) f32 (see _step_coords), and
+    projects each voxel tile on the VPU right before sampling it. Removes
+    the coordinate tensors' HBM round-trip (~105 MB/frame at flagship
+    shapes) and their XLA compute from the hot path.
+
+    geom: static tile/space geometry tuple (Tx, Ty, Tz, tx, ty, tz,
+    pitch x/y/z, origin x/y/z, ori-pixel clamp bound, heatmap w-1, h-1).
+    Returns (P, T, J, S) view-mean bilinear samples in [0, 1]."""
+    NB, V, J, Hp, Wp = padded_hm.shape
+    P = corner.shape[0]
+    T, S = num_tiles, samples_per_tile
+    assert P == NB * people_per_item, (P, NB, people_per_item)
+    PH = min(PH, Hp)
+    NT = tiles_per_step
+    while T % NT:
+        NT //= 2
+    K = people_per_item
+
+    kernel = functools.partial(_sampler_project_kernel, num_views=V, PH=PH,
+                               geom=geom)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(P, T // NT),
+        in_specs=[
+            pl.BlockSpec((1, V, J, Hp, Wp),
+                         lambda p, t, *_: (p // K, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, NT, J, S), lambda p, t, *_: (p, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, T, J, S), out_dtype),
+        interpret=interpret,
+    )(tile_valid.astype(jnp.int32), corner.astype(jnp.int32),
+      cam.astype(jnp.float32), padded_hm.astype(hm_dtype))

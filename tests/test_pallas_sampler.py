@@ -14,6 +14,55 @@ from fvp_tpu.ops.sampling import project_whole, sample_person_cubes
 from tests.helpers import random_rig, tiny_config
 
 
+def test_in_kernel_projection_matches_xla_chain(rng):
+    """The kernel's _step_coords VPU projection must reproduce the XLA
+    projection chain (_tile_positions -> project_points_uv ->
+    to_sample_px_uv) that the coords-input path consumes."""
+    from fvp_tpu.geometry.cameras import project_points_uv
+    from fvp_tpu.geometry.grids import to_sample_px_uv
+    from fvp_tpu.ops.fast_sampling import (
+        _pack_cam_params, _person_geom, _tile_positions,
+    )
+    from fvp_tpu.ops.pallas.sampler import _step_coords
+
+    cfg = tiny_config(num_views=3, ind_voxels_per_axis=(16, 16, 16))
+    rig = random_rig(rng, num_views=3)
+    rc = build_rig_constants(cfg, rig)
+    tile = (4, 2, 2)
+    corner = jnp.asarray(
+        rng.randint(-10, 60, (2, 3)).astype(np.int32))
+
+    px, py, pz, tdims = _tile_positions(corner[0], cfg, tile)
+    T, S = px.shape
+    NT = 8
+
+    def view(R, Tr, f, c, k, p):
+        u, v = project_points_uv(px.reshape(-1), py.reshape(-1),
+                                 pz.reshape(-1), R, Tr, f, c, k, p)
+        sx, sy = to_sample_px_uv(u, v, cfg, rc.hm_transform, xp=jnp)
+        return sx.reshape(T, S), sy.reshape(T, S)
+
+    sx_ref, sy_ref = jax.vmap(view)(rig.R.astype(np.float32),
+                                    rig.T.astype(np.float32),
+                                    rig.f.astype(np.float32),
+                                    rig.c.astype(np.float32),
+                                    rig.k.astype(np.float32),
+                                    rig.p.astype(np.float32))   # (V, T, S)
+
+    cam = _pack_cam_params(rc.rig, rc.hm_transform)
+    geom = _person_geom(cfg, tile)
+    for tg in range(T // NT):
+        got = _step_coords(corner, cam, 0, tg, NT=NT, S=S,
+                           num_views=3, geom=geom)
+        for v, (gx, gy) in enumerate(got):
+            np.testing.assert_allclose(
+                np.asarray(gx), np.asarray(sx_ref[v, tg * NT:(tg + 1) * NT]),
+                rtol=1e-6, atol=2e-4)
+            np.testing.assert_allclose(
+                np.asarray(gy), np.asarray(sy_ref[v, tg * NT:(tg + 1) * NT]),
+                rtol=1e-6, atol=2e-4)
+
+
 def test_person_cubes_pallas_matches_exact(rng):
     cfg = tiny_config(num_views=2, ind_voxels_per_axis=(16, 16, 16),
                       max_people=3)
