@@ -47,9 +47,23 @@ from jax.experimental.pallas import tpu as pltpu
 from fvp_tpu.ops.fast_sampling import PAD
 
 
-def _one_tile_from(coords, hm_ref, num_views, PH, Hp, Wp, J, S):
+def _one_tile_from(coords, hm_ref, num_views, PH, Hp, Wp, NW, J, S):
     """coords: per-view list of ((1, S) sx, (1, S) sy) PADDED-frame pixel
-    coordinate values (PAD already added)."""
+    coordinate values (PAD already added).
+
+    hm_ref carries NW x-WINDOWS of the padded heatmap concatenated on the
+    lane axis (see _window_heatmaps): window k = source lanes
+    [min(64k, Wp-128), +128). Per tile and view the kernel picks the
+    window containing the tile's x-support with ONE dynamic lane slice —
+    the offset w*128 is 128-lane-aligned by construction, which is what
+    makes a dynamic x-band legal on the lane axis at all — halving the
+    matmul contraction (and the hat build) vs contracting the full padded
+    width. Supports wider than ~64 px can spill the window and lose
+    their right-side taps: the same pathologically-close-voxel class as
+    the PH y-band (documented at pallas_tiled_sample), bounded by the
+    same production A/B."""
+    WB = hm_ref.shape[-1] if NW == 1 else 128
+
     def one_view(v, acc):
         sx, sy = coords[v]                         # (1, S), padded frame
 
@@ -60,22 +74,31 @@ def _one_tile_from(coords, hm_ref, num_views, PH, Hp, Wp, J, S):
         oyi = (oy.astype(jnp.int32) // 8) * 8
         ly = sy - oyi.astype(jnp.float32)
 
+        if NW == 1:
+            lx = sx
+            band = hm_ref[0, v, :, pl.ds(oyi, PH), :]      # (J, PH, WB)
+        else:
+            xmin = jnp.floor(jnp.min(sx)).astype(jnp.int32)
+            w = jnp.clip(xmin // 64, 0, NW - 1)
+            start = jnp.minimum(64 * w, Wp - 128)
+            lx = sx - start.astype(jnp.float32)
+            band = hm_ref[0, v, :, pl.ds(oyi, PH),
+                          pl.ds(w * 128, 128)]             # (J, PH, 128)
+
         iw = jax.lax.broadcasted_iota(
-            jnp.int32, (Wp, S), 0).astype(jnp.float32)
+            jnp.int32, (WB, S), 0).astype(jnp.float32)
         iy = jax.lax.broadcasted_iota(
             jnp.int32, (PH, S), 0).astype(jnp.float32)
         wxT = jnp.maximum(0.0, 1.0 - jnp.abs(
-            jnp.broadcast_to(sx, (Wp, S)) - iw))   # (Wp, S)
+            jnp.broadcast_to(lx, (WB, S)) - iw))   # (WB, S)
         wyT = jnp.maximum(0.0, 1.0 - jnp.abs(
             jnp.broadcast_to(ly, (PH, S)) - iy))   # (PH, S)
-
-        band = hm_ref[0, v, :, pl.ds(oyi, PH), :]  # (J, PH, Wp)
 
         # with bf16 heatmaps (default): bf16 x bf16 -> f32, matching the
         # MXU's default-precision path for f32 operands at half the VMEM
         # footprint for the resident heatmaps
         t1 = jax.lax.dot_general(
-            band.reshape(J * PH, Wp), wxT.astype(band.dtype),
+            band.reshape(J * PH, WB), wxT.astype(band.dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)    # (J*PH, S)
         return acc + jnp.sum(
@@ -88,13 +111,15 @@ def _one_tile_from(coords, hm_ref, num_views, PH, Hp, Wp, J, S):
 
 
 def _sampler_kernel(valid_ref, sx_ref, sy_ref, hm_ref, out_ref, *,
-                    num_views, PH):
+                    num_views, PH, NW, Wp):
     """Grid step = NT voxel tiles (batched to amortize per-step overhead).
     valid_ref: scalar-prefetched (P, T) int32 tile mask;
-    sx_ref/sy_ref blocks (1, NT, V, S); hm_ref block (1, V, J, Hp, Wp)
-    [the owning frame's heatmaps, VMEM-resident]; out_ref (1, NT, J, S)."""
+    sx_ref/sy_ref blocks (1, NT, V, S); hm_ref block (1, V, J, Hp, NW*128
+    windowed lanes — see _window_heatmaps; Wp = pre-windowing padded
+    width) [the owning frame's heatmaps, VMEM-resident];
+    out_ref (1, NT, J, S)."""
     J = hm_ref.shape[2]
-    Hp, Wp = hm_ref.shape[3], hm_ref.shape[4]
+    Hp = hm_ref.shape[3]
     NT = sx_ref.shape[1]
     S = sx_ref.shape[3]
     p = pl.program_id(0)
@@ -109,7 +134,8 @@ def _sampler_kernel(valid_ref, sx_ref, sy_ref, hm_ref, out_ref, *,
         @pl.when(valid)
         def _():
             out_ref[0, nt] = _one_tile_from(coords, hm_ref, num_views, PH,
-                                            Hp, Wp, J, S).astype(out_ref.dtype)
+                                            Hp, Wp, NW, J, S
+                                            ).astype(out_ref.dtype)
 
         @pl.when(jnp.logical_not(valid))
         def _():
@@ -192,12 +218,12 @@ def _step_coords(corner_ref, cam_ref, p, tg, *, NT, S, num_views, geom):
 
 
 def _sampler_project_kernel(valid_ref, corner_ref, cam_ref, hm_ref, out_ref,
-                            *, num_views, PH, geom):
+                            *, num_views, PH, NW, Wp, geom):
     """Like _sampler_kernel, but computes the sample coordinates in-kernel
     from the scalar-prefetched cube corners + camera parameters instead of
     streaming precomputed (P, T, V, S) coordinate tensors from HBM."""
     J = hm_ref.shape[2]
-    Hp, Wp = hm_ref.shape[3], hm_ref.shape[4]
+    Hp = hm_ref.shape[3]
     NT = out_ref.shape[1]
     S = out_ref.shape[3]
     p = pl.program_id(0)
@@ -214,23 +240,45 @@ def _sampler_project_kernel(valid_ref, corner_ref, cam_ref, hm_ref, out_ref,
         @pl.when(valid)
         def _():
             out_ref[0, nt] = _one_tile_from(coords, hm_ref, num_views, PH,
-                                            Hp, Wp, J, S).astype(out_ref.dtype)
+                                            Hp, Wp, NW, J, S
+                                            ).astype(out_ref.dtype)
 
         @pl.when(jnp.logical_not(valid))
         def _():
             out_ref[0, nt] = jnp.zeros((J, S), out_ref.dtype)
 
 
+def _window_heatmaps(padded_hm: jax.Array):
+    """(..., Hp, Wp) padded heatmaps -> (..., Hp, NW*128) x-windows.
+
+    Window k = source lanes [min(64k, Wp-128), +128), so any 64-aligned
+    x-support of width <= ~64 px lies inside window floor(xmin/64), and
+    the kernel reaches it with a 128-aligned dynamic lane slice. Built in
+    XLA once per frame (a few MB of slicing); Wp <= 128 passes through
+    untouched (NW=1)."""
+    Wp = padded_hm.shape[-1]
+    if Wp <= 128:
+        return padded_hm, 1, Wp
+    NW = (Wp - 128 + 63) // 64 + 1
+    wins = [
+        jax.lax.slice_in_dim(padded_hm, min(64 * k, Wp - 128),
+                             min(64 * k, Wp - 128) + 128, axis=-1)
+        for k in range(NW)
+    ]
+    return jnp.concatenate(wins, axis=-1), NW, Wp
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("PH", "tiles_per_step", "people_per_item", "interpret",
-                     "hm_dtype", "out_dtype"))
+                     "hm_dtype", "out_dtype", "x_window"))
 def pallas_tiled_sample(padded_hm: jax.Array, sx: jax.Array, sy: jax.Array,
                         tile_valid: jax.Array, PH: int = 32,
                         tiles_per_step: int = 8, people_per_item: int = 1,
                         interpret: bool = False,
                         hm_dtype=jnp.bfloat16,
-                        out_dtype=jnp.float32) -> jax.Array:
+                        out_dtype=jnp.float32,
+                        x_window: bool = False) -> jax.Array:
     """padded_hm: (NB, V, J, H+2*PAD, W+2*PAD) (zero border; stored bf16 in
     VMEM), one entry per frame; sx, sy: (P, T, V, S) heatmap-frame pixel
     coords of tiled samples, where row p samples frame
@@ -257,8 +305,11 @@ def pallas_tiled_sample(padded_hm: jax.Array, sx: jax.Array, sy: jax.Array,
     while T % NT:
         NT //= 2
     K = people_per_item
+    hm_win, NW, _ = (_window_heatmaps(padded_hm) if x_window
+                     else (padded_hm, 1, Wp))
 
-    kernel = functools.partial(_sampler_kernel, num_views=V, PH=PH)
+    kernel = functools.partial(_sampler_kernel, num_views=V, PH=PH,
+                               NW=NW, Wp=Wp)
     grid = (P, T // NT)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -268,7 +319,7 @@ def pallas_tiled_sample(padded_hm: jax.Array, sx: jax.Array, sy: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NT, V, S), lambda p, t, *_: (p, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, V, J, Hp, Wp),
+            pl.BlockSpec((1, V, J, Hp, hm_win.shape[-1]),
                          lambda p, t, *_: (p // K, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -280,7 +331,7 @@ def pallas_tiled_sample(padded_hm: jax.Array, sx: jax.Array, sy: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((P, T, J, S), out_dtype),
         interpret=interpret,
-    )(tile_valid.astype(jnp.int32), sx, sy, padded_hm.astype(hm_dtype))
+    )(tile_valid.astype(jnp.int32), sx, sy, hm_win.astype(hm_dtype))
 
 
 @functools.partial(
@@ -317,14 +368,15 @@ def pallas_tiled_sample_project(padded_hm: jax.Array, corner: jax.Array,
     while T % NT:
         NT //= 2
     K = people_per_item
+    hm_win, NW, _ = _window_heatmaps(padded_hm)
 
     kernel = functools.partial(_sampler_project_kernel, num_views=V, PH=PH,
-                               geom=geom)
+                               NW=NW, Wp=Wp, geom=geom)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(P, T // NT),
         in_specs=[
-            pl.BlockSpec((1, V, J, Hp, Wp),
+            pl.BlockSpec((1, V, J, Hp, hm_win.shape[-1]),
                          lambda p, t, *_: (p // K, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -337,4 +389,4 @@ def pallas_tiled_sample_project(padded_hm: jax.Array, corner: jax.Array,
         out_shape=jax.ShapeDtypeStruct((P, T, J, S), out_dtype),
         interpret=interpret,
     )(tile_valid.astype(jnp.int32), corner.astype(jnp.int32),
-      cam.astype(jnp.float32), padded_hm.astype(hm_dtype))
+      cam.astype(jnp.float32), hm_win.astype(hm_dtype))
