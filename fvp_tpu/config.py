@@ -15,7 +15,7 @@ raise, like the reference's strict overlay (config.py:167-171).
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Sequence
 
 import yaml

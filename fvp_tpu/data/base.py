@@ -16,7 +16,7 @@ The three heatmap sources mirror the reference (config.py:38-40):
 
 from __future__ import annotations
 
-from typing import Any, Mapping, Optional, Sequence
+from typing import Any, Mapping, Optional
 
 import numpy as np
 

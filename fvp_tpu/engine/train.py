@@ -18,7 +18,6 @@ drops every 4th batch from the window — a quirk not worth preserving).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any
 
 import jax

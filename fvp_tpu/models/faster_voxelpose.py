@@ -21,7 +21,7 @@ Data flow (all under one jit):
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -30,8 +30,6 @@ camera's image plane) contribute zeros for that view.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,7 @@ from __future__ import annotations
 import multiprocessing as mp
 import queue
 import time
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 
