@@ -128,6 +128,18 @@ def main() -> None:
     fps = 1.0 / t_e2e
     log(f"end-to-end: {t_e2e * 1000:.2f} ms  ({fps:.1f} fps)")
 
+    if os.environ.get("FVP_BENCH_BATCH8", "0") != "0":
+        # opt-in batch-8 throughput diagnostic (offline/eval shape; the
+        # batch-1 latency shape above stays the headline metric). Off by
+        # default: it adds a fresh e2e compile at batch 8 and a ~236 MB
+        # input upload, which the tunneled ~25 MB/s device link on this
+        # machine handles poorly (see NOTES_ROUND2.md).
+        images8 = jnp.asarray(rng.rand(8, cfg.num_views, h, w, 3)
+                              .astype(np.float32))
+        t_b8 = time_fn(e2e, images8, iters=max(ITERS // 4, 5))
+        log(f"batch-8 end-to-end: {t_b8 * 1000:.2f} ms "
+            f"({8.0 / t_b8:.1f} frames/s throughput)")
+
     print(json.dumps({
         "metric": "e2e_fps_panoptic_5cam",
         "value": round(fps, 2),
