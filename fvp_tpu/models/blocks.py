@@ -21,6 +21,27 @@ import jax.numpy as jnp
 INIT = nn.initializers.normal(stddev=0.001)
 
 
+class BNVars(nn.Module):
+    """Param-holder matching nn.BatchNorm's variable names/shapes without
+    running the op: used by Pallas inference paths that consume the folded
+    affine directly while keeping checkpoints interchangeable with the
+    nn.BatchNorm training path."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        from fvp_tpu.ops.pallas.deconv_head import bn_affine
+
+        f = self.features
+        scale = self.param("scale", nn.initializers.ones, (f,))
+        bias = self.param("bias", nn.initializers.zeros, (f,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((f,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((f,), jnp.float32))
+        return bn_affine(scale, bias, mean.value, var.value)
+
+
 class BasicBlock(nn.Module):
     """Conv(k) + BN + ReLU, rank-agnostic (1D or 2D via `dims`)."""
     features: int

@@ -81,27 +81,63 @@ class P2PNet(nn.Module):
                            x.astype(jnp.float32))
 
 
+class _ConvParams(nn.Module):
+    """Param-holder matching nn.Conv's names/shapes (pallas path)."""
+    kernel: tuple
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (*self.kernel, cin, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class WeightNet(nn.Module):
     """Per-(plane, person, joint) scalar fusion weight from each plane
     heatmap: conv+BN+maxpool+ReLU -> global average pool -> 2-layer MLP ->
     sigmoid (reference weight_net.py:55-80; note the reference never calls
-    its _initialize_weights, so default inits apply here too)."""
+    its _initialize_weights, so default inits apply here too).
+
+    At inference on TPU the conv+BN+pool+mean front end runs as one fused
+    Pallas kernel (ops/pallas/weightnet.py) reading the same parameters;
+    training and CPU use the XLA module path (identical math, pool/relu
+    commute — both monotone)."""
     feat_channels: int = 32
     hidden_channels: int = 64
     dtype: Any = jnp.float32
+    use_pallas: Any = None     # None = auto (inference on TPU)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        import jax
+
         # x: (N, A, B, J) plane heatmaps; one joint map per weight
         n, a, b, j = x.shape
-        x = x.transpose(0, 3, 1, 2).reshape(n * j, a, b, 1)
-        x = nn.Conv(self.feat_channels, (3, 3), padding="SAME",
-                    dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         dtype=self.dtype)(x)
-        x = max_pool(x, dims=2)
-        x = nn.relu(x)
-        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # global avg pool
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = (not train) and jax.default_backend() == "tpu"
+        if use_pallas:
+            from fvp_tpu.models.blocks import BNVars
+            from fvp_tpu.ops.pallas.weightnet import pallas_weightnet_pool
+
+            kern, kbias = _ConvParams((3, 3), self.feat_channels,
+                                      name="Conv_0")(1)
+            aff = BNVars(self.feat_channels, name="BatchNorm_0")()
+            x = pallas_weightnet_pool(
+                x, kern, kbias, aff,
+                interpret=jax.default_backend() != "tpu")
+            x = x.reshape(n * j, self.feat_channels)
+        else:
+            x = x.transpose(0, 3, 1, 2).reshape(n * j, a, b, 1)
+            x = nn.Conv(self.feat_channels, (3, 3), padding="SAME",
+                        dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=self.dtype)(x)
+            x = max_pool(x, dims=2)
+            x = nn.relu(x)
+            x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # global pool
         x = nn.Dense(self.hidden_channels)(x)
         x = nn.relu(x)
         x = nn.Dense(1)(x)

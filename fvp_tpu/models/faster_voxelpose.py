@@ -196,8 +196,19 @@ class FasterVoxelPose(nn.Module):
             planes = collapse_planes(
                 cubes.reshape(B * K, *cubes.shape[2:]))
         # planes: (3, BK, A, B, J); offsets: (B, K, 3)
-        feats = self.p2p_net(
-            planes.reshape(3 * B * K, *planes.shape[2:]), train)
+        flat_planes = planes.reshape(3 * B * K, *planes.shape[2:])
+        from fvp_tpu.ops.pallas.hourglass import hourglass_supported
+        if (use_pallas_sampling(cfg) and not train
+                and not self.is_initializing()
+                and hourglass_supported(flat_planes.shape)):
+            # fused single-launch hourglass (inference; reads the same
+            # variables as the flax module -> checkpoints unchanged)
+            from fvp_tpu.ops.pallas.hourglass import pallas_p2pnet
+            feats = pallas_p2pnet(
+                self.p2p_net.variables, flat_planes, J,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            feats = self.p2p_net(flat_planes, train)
         feats3 = feats.reshape(3, B * K, nx, nx, J)
 
         if use_pallas_sampling(cfg) and not train:

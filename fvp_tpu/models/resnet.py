@@ -289,13 +289,41 @@ class _PolyphaseDeconv(nn.Module):
         return ow.astype(self.dtype)
 
 
+class _DeconvKernel(nn.Module):
+    """Param-holder: declares the canonical ConvTranspose (4, 4, Cin, F)
+    kernel (same name/shape as nn.ConvTranspose) without running the op —
+    the Pallas head consumes the raw parameter."""
+    cin: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (4, 4, self.cin, self.features))
+
+
+class _HeadBN(nn.Module):
+    """Param-holder matching nn.BatchNorm's variable tree
+    (<name>/BatchNorm_0/{scale,bias} + batch_stats {mean,var}); returns the
+    folded inference affine (2, F)."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        from fvp_tpu.models.blocks import BNVars
+
+        return BNVars(self.features, name="BatchNorm_0")()
+
+
 class PoseResNet(nn.Module):
     """Backbone with selectable TPU lowerings for the stem and deconv head.
 
     stem: 'xla' (7x7/s2 conv) | 's2d' (_S2DStem space-to-depth rewrite).
     head: 'xla' (ConvTranspose) | 'fused' (_FusedDeconv per-stage rewrite)
           | 'polyphase' (_PolyphaseDeconv: all three stages phase-blocked
-          at constant resolution, one depth-to-space at the end).
+          at constant resolution, one depth-to-space at the end)
+          | 'pallas' (ops/pallas/deconv_head.py: per-parity dense MXU
+          matmuls, BN folded; inference-only — the measured-fastest head).
     All variants are numerically exact and checkpoint-compatible.
 
     Measured on TPU v5e (bf16, 5x512x960): XLA's native lowering beats the
@@ -343,7 +371,25 @@ class PoseResNet(nn.Module):
                           name=f"layer{li + 1}_{bi}")(x, train)
             inplanes = planes * expansion
 
-        if self.head == "polyphase":
+        if self.head == "pallas":
+            from fvp_tpu.ops.pallas.deconv_head import pallas_deconv_head
+
+            if train:
+                raise ValueError(
+                    "head='pallas' is inference-only (folded BN running "
+                    "stats); the backbone is frozen/eval in training — "
+                    "use head='xla' if you need BN batch updates")
+            kernels, affines = [], []
+            cin = x.shape[-1]
+            for di, feats in enumerate(self.deconv_filters):
+                kernels.append(
+                    _DeconvKernel(cin, feats, name=f"deconv{di}")())
+                affines.append(_HeadBN(feats, name=f"deconv_bn{di}")())
+                cin = feats
+            x = pallas_deconv_head(
+                x, kernels, affines,
+                interpret=jax.default_backend() != "tpu")
+        elif self.head == "polyphase":
             # phase-blocked head: constant spatial res, one final d2s
             y = x[:, :, :, None, None, :]
             for di, feats in enumerate(self.deconv_filters):

@@ -1,0 +1,301 @@
+"""Pallas TPU kernels: the 2D hourglass task nets (P2PNet / CenterNet) as
+single fused kernels.
+
+The reference's plane-to-pose and BEV nets (lib/models/cnns_2d.py:128-305)
+are ~30 small convs at 15-128 channels on 64x64 / 80x80 grids. At batch-1
+serving shapes each XLA conv is a separate kernel launch on mostly-idle
+hardware: measured round 3, P2PNet costs 2.2 ms and CenterNet 0.8 ms for
+~0.5 GFLOP/item of actual work. This kernel runs one grid step per item
+with every activation, skip tensor and weight resident in VMEM
+(~6 MB total), so the whole net is one launch.
+
+Formulation per conv: 3x3 convs accumulate 9 shifted (H*W, Cin) @ (Cin, F)
+matmuls (contraction >= 32 rides the MXU fine); the 7x7 front with Cin=15
+is too thin per tap, so its 49 taps are lane-concatenated into one
+(H*W, 49*Cin) im2col matmul. 2x2-stride-2 transposed-conv upsampling is
+four per-parity (H*W, Cin) @ (Cin, F) matmuls interleaved with
+transpose-and-merge moves that only ever touch leading dims (Mosaic-safe).
+BN running stats are folded into per-channel affines (inference only); the
+flax module path remains the training path and the numerical reference
+(tests/test_hourglass.py pins parity in interpret mode).
+
+Layout rules observed throughout (see ops/pallas/sampler.py): channels on
+lanes; (H, W, C) -> (H*W, C) merges only with W a multiple of 8 (so this
+path requires spatial dims >= 8 at every pyramid level: 64/32/16 flagship;
+smaller test configs fall back to XLA); transposes/stacks/merges never
+touch the lane dim.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fvp_tpu.ops.pallas.deconv_head import bn_affine
+
+_BF = jnp.bfloat16
+
+
+# ---------------------------------------------------------------------------
+# weight packing (XLA side)
+# ---------------------------------------------------------------------------
+
+def _fold(params, stats, conv: str, bn: str | None):
+    """Fold conv bias + BN running stats into (a, a*bias + b)."""
+    bias = params[conv].get("bias")
+    if bn is None:
+        a = jnp.ones_like(bias)
+        return jnp.stack([a, bias]).astype(jnp.float32)
+    p = params[bn]
+    s = stats[bn]
+    aff = bn_affine(p["scale"], p["bias"], s["mean"], s["var"])
+    a, b = aff[0], aff[1]
+    if bias is not None:
+        b = a * bias + b
+    return jnp.stack([a, b]).astype(jnp.float32)
+
+
+def _conv_w(params, name: str):
+    return params[name]["kernel"]
+
+
+def _pack_res(params, stats, out):
+    """ResBlock weights (fvp_tpu/models/blocks.py:41-65) in apply order."""
+    proj = "Conv_2" in params
+    out.append(_conv_w(params, "Conv_0").reshape(9, -1,
+               params["Conv_0"]["kernel"].shape[-1]).astype(_BF))
+    out.append(_fold(params, stats, "Conv_0", "BatchNorm_0"))
+    out.append(_conv_w(params, "Conv_1").reshape(9, -1,
+               params["Conv_1"]["kernel"].shape[-1]).astype(_BF))
+    out.append(_fold(params, stats, "Conv_1", "BatchNorm_1"))
+    if proj:
+        out.append(_conv_w(params, "Conv_2")[0, 0].astype(_BF))
+        out.append(_fold(params, stats, "Conv_2", "BatchNorm_2"))
+    return proj
+
+
+def _pack_upsample(params, stats, out):
+    """UpsampleBlock: flax ConvTranspose(2,2,s2,SAME) == torch k2s2p0:
+    y[2i+r, 2j+s] = x[i, j] @ kf[1-r, 1-s] (flax stores the spatially
+    flipped kernel; pinned in tests)."""
+    k = params["ConvTranspose_0"]["kernel"]          # (2, 2, Cin, F)
+    wu = k[::-1, ::-1]                               # wu[r, s] = kf[1-r,1-s]
+    out.append(wu.astype(_BF))
+    p = params["BatchNorm_0"]
+    s = stats["BatchNorm_0"]
+    out.append(bn_affine(p["scale"], p["bias"], s["mean"], s["var"]))
+
+
+def pack_hourglass_params(variables, front_kernel: int = 7):
+    """Flatten a P2PNet/CenterNet-body variable tree into the kernel's
+    ordered weight list. Returns (weights list, proj flags per ResBlock)."""
+    params, stats = variables["params"], variables["batch_stats"]
+    out: list = []
+    projs: list = []
+
+    fk = params["BasicBlock_0"]["Conv_0"]["kernel"]  # (7, 7, Cin, 16)
+    kh, kw, cin, f = fk.shape
+    assert kh == front_kernel
+    out.append(fk.reshape(kh * kw * cin, f).astype(_BF))
+    out.append(_fold(params["BasicBlock_0"], stats["BasicBlock_0"],
+                     "Conv_0", "BatchNorm_0"))
+    projs.append(_pack_res(params["ResBlock_0"], stats["ResBlock_0"], out))
+
+    enc_p, enc_s = params["EncoderDecoder_0"], stats["EncoderDecoder_0"]
+    for rb in ("ResBlock_0", "ResBlock_1", "ResBlock_2", "ResBlock_3",
+               "ResBlock_4", "ResBlock_5"):
+        projs.append(_pack_res(enc_p[rb], enc_s[rb], out))
+    _pack_upsample(enc_p["UpsampleBlock_0"], enc_s["UpsampleBlock_0"], out)
+    projs.append(_pack_res(enc_p["ResBlock_6"], enc_s["ResBlock_6"], out))
+    _pack_upsample(enc_p["UpsampleBlock_1"], enc_s["UpsampleBlock_1"], out)
+    return out, tuple(projs)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel ops (operate on (H, W, C) values, channels on lanes)
+# ---------------------------------------------------------------------------
+
+def _mm(x2, w, F):
+    return jax.lax.dot_general(
+        x2.astype(w.dtype), w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _affine(h, aff, relu: bool):
+    h = h * aff[0] + aff[1]
+    return jnp.maximum(h, 0.0) if relu else h
+
+
+def _conv3(x, w_ref, aff, relu: bool, add=None):
+    """3x3 SAME conv by 9 shifted matmuls. x: (H, W, Cin) bf16;
+    w_ref: (9, Cin, F). Returns (H, W, F) f32 (pre-cast by caller)."""
+    H, W, Cin = x.shape
+    F = w_ref.shape[-1]
+    xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)))
+    acc = jnp.zeros((H * W, F), jnp.float32)
+    for t in range(9):
+        dy, dx = t // 3, t % 3
+        acc = acc + _mm(xp[dy:dy + H, dx:dx + W, :].reshape(H * W, Cin),
+                        w_ref[t], F)
+    h = _affine(acc, aff, relu)
+    if add is not None:
+        h = jnp.maximum(h + add.reshape(H * W, F), 0.0)
+    return h.reshape(H, W, F)
+
+
+def _front_conv(x, w_ref, aff, kh: int):
+    """kh x kh SAME front conv (thin Cin): im2col lane-concat + 1 matmul."""
+    H, W, Cin = x.shape
+    F = w_ref.shape[-1]
+    p = kh // 2
+    xp = jnp.pad(x, ((p, p), (p, p), (0, 0)))
+    taps = [xp[dy:dy + H, dx:dx + W, :].reshape(H * W, Cin)
+            for dy in range(kh) for dx in range(kh)]
+    x9 = jnp.concatenate(taps, axis=1)               # (H*W, kh*kh*Cin)
+    return _affine(_mm(x9, w_ref[...], F), aff, True).reshape(H, W, F)
+
+
+def _resblock(x, refs, proj: bool):
+    """conv3-aff-relu, conv3-aff, (+1x1 proj-aff) skip, relu at the join."""
+    w0, a0 = refs.pop(0), refs.pop(0)
+    w1, a1 = refs.pop(0), refs.pop(0)
+    h = _conv3(x, w0, a0[...], relu=True).astype(_BF)
+    H, W, _ = h.shape
+    F = w1.shape[-1]
+    h2 = _conv3(h, w1, a1[...], relu=False)
+    if proj:
+        wp, ap = refs.pop(0), refs.pop(0)
+        skip = _affine(_mm(x.reshape(H * W, -1), wp[...], F), ap[...],
+                       relu=False).reshape(H, W, F)
+    else:
+        skip = x.astype(jnp.float32)
+    return jnp.maximum(h2 + skip, 0.0).astype(_BF)
+
+
+def _pool2(x):
+    """2x2/s2 maxpool: leading-dim pair-splits + one transpose per axis
+    (Mosaic has no strided vector slices)."""
+    H, W, C = x.shape
+    x = jnp.max(x.reshape(H // 2, 2, W, C), axis=1)
+    x = x.swapaxes(0, 1)                             # (W, H/2, C)
+    x = jnp.max(x.reshape(W // 2, 2, H // 2, C), axis=1)
+    return x.swapaxes(0, 1)                          # (H/2, W/2, C)
+
+
+def _interleave2(o00, o01, o10, o11):
+    """y[2i+r, 2j+s] = o_rs[i, j] via leading-dim stacks/merges only."""
+    H, W, F = o00.shape
+
+    def cols(a, b):                                  # (H, W, F) x2 -> (H, 2W, F)
+        z = jnp.stack([a.swapaxes(0, 1), b.swapaxes(0, 1)], axis=1)
+        return z.reshape(2 * W, H, F).swapaxes(0, 1)
+
+    z0 = cols(o00, o01)
+    z1 = cols(o10, o11)
+    return jnp.stack([z0, z1], axis=1).reshape(2 * H, 2 * W, F)
+
+
+def _upsample(x, refs):
+    """ConvTranspose(2,2,s2) + BN-affine + relu: 4 per-parity matmuls."""
+    wu, aff = refs.pop(0), refs.pop(0)
+    H, W, Cin = x.shape
+    F = wu.shape[-1]
+    x2 = x.reshape(H * W, Cin)
+    o = [_affine(_mm(x2, wu[r, s], F), aff[...], relu=True)
+         .reshape(H, W, F).astype(_BF)
+         for r in range(2) for s in range(2)]
+    return _interleave2(*o)
+
+
+def _hourglass_body(x, refs, projs):
+    """BasicBlock(front) + ResBlock + EncoderDecoder (blocks.py:91-119).
+    x: (H, W, Cin) bf16 -> (H, W, c0) bf16."""
+    pi = iter(projs)
+    w_f, a_f = refs.pop(0), refs.pop(0)
+    x = _front_conv(x, w_f, a_f[...], kh=7).astype(_BF)
+    x = _resblock(x, refs, next(pi))                 # front res (c0)
+
+    skip1 = _resblock(x, refs, next(pi))             # (H, W, c0)
+    x = _pool2(x)
+    x = _resblock(x, refs, next(pi))                 # c1
+
+    skip2 = _resblock(x, refs, next(pi))             # (H/2, W/2, c1)
+    x = _pool2(x)
+    x = _resblock(x, refs, next(pi))                 # c2
+    x = _resblock(x, refs, next(pi))
+    x = _resblock(x, refs, next(pi))
+
+    x = _upsample(x, refs)                           # c2 -> c1, 2x
+    x = (x.astype(jnp.float32) + skip2).astype(_BF)
+    x = _resblock(x, refs, next(pi))
+    x = _upsample(x, refs)                           # c1 -> c0, 2x
+    return (x.astype(jnp.float32) + skip1).astype(_BF)
+
+
+# ---------------------------------------------------------------------------
+# P2PNet
+# ---------------------------------------------------------------------------
+
+def _p2p_kernel(*refs, projs, H, W, J):
+    x_ref = refs[0]
+    out_ref = refs[-1]
+    body = list(refs[1:-3])
+    wf, bf = refs[-3], refs[-2]
+
+    x = x_ref[0].astype(_BF)
+    x = _hourglass_body(x, body, projs)
+    h = _mm(x.reshape(H * W, x.shape[-1]), wf[...], J) + bf[0]
+    out_ref[0] = h.reshape(H, W, J)
+
+
+def hourglass_supported(shape) -> bool:
+    """The kernel's (H, W, C) -> (H*W, C) merges need W % 8 == 0 at every
+    pyramid level (two 2x pools)."""
+    H, W = shape[-3], shape[-2]
+    return H % 32 == 0 and W % 32 == 0 and W >= 32 and H >= 32
+
+
+@functools.partial(jax.jit, static_argnames=("projs", "interpret"))
+def _p2p_call(planes, weights, final_w, final_b, projs,
+              interpret: bool = False):
+    N, H, W, J = planes.shape
+    n_in = 1 + len(weights) + 2
+    specs = [pl.BlockSpec((1, H, W, J), lambda n: (n, 0, 0, 0),
+                          memory_space=pltpu.VMEM)]
+    for w in weights:
+        specs.append(pl.BlockSpec(
+            w.shape, (lambda n, _nd=w.ndim: (0,) * _nd),
+            memory_space=pltpu.VMEM))
+    specs.append(pl.BlockSpec(final_w.shape, lambda n: (0, 0),
+                              memory_space=pltpu.VMEM))
+    specs.append(pl.BlockSpec(final_b.shape, lambda n: (0, 0),
+                              memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(_p2p_kernel, projs=projs, H=H, W=W, J=J)
+    return pl.pallas_call(
+        kernel,
+        grid=(N,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, H, W, J), lambda n: (n, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, H, W, J), jnp.float32),
+        interpret=interpret,
+    )(planes, *weights, final_w, final_b)
+
+
+def pallas_p2pnet(variables, planes: jax.Array, num_joints: int,
+                  interpret: bool = False) -> jax.Array:
+    """Fused P2PNet forward (inference). variables: the flax P2PNet
+    variable tree ({'params', 'batch_stats'}); planes: (N, A, B, J).
+    Returns (N, A, B, J) f32 — matches P2PNet.apply(..., train=False)."""
+    weights, projs = pack_hourglass_params(variables)
+    params = variables["params"]
+    final_w = params["Conv_0"]["kernel"][0, 0].astype(_BF)   # (c0, J)
+    final_b = params["Conv_0"]["bias"].reshape(1, -1).astype(jnp.float32)
+    return _p2p_call(planes, tuple(weights), final_w, final_b, projs,
+                     interpret=interpret)

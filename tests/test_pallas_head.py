@@ -1,0 +1,104 @@
+"""Parity tests for the Pallas backbone deconv head and fused WeightNet
+front end (interpret mode on the CPU test platform).
+
+References: the XLA modules they replace — nn.ConvTranspose(4,4,s2,SAME)
++ BN + ReLU stages (fvp_tpu/models/resnet.py head='xla') and WeightNet's
+conv+BN+pool+mean (fvp_tpu/models/cnns.py) — themselves parity-pinned
+against the reference torch model in tests/test_resnet.py /
+tests/test_model.py.
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+import numpy as np
+import pytest
+
+from fvp_tpu.models.cnns import WeightNet
+from fvp_tpu.models.resnet import PoseResNet
+from fvp_tpu.ops.pallas.deconv_head import (
+    bn_affine, deconv_stage_chunked, deconv_stage_rows, pack_k4,
+)
+
+
+def _rand_bn(rng, f):
+    scale = jnp.asarray(rng.rand(f).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rng.randn(f).astype(np.float32) * 0.1)
+    mean = jnp.asarray(rng.randn(f).astype(np.float32) * 0.1)
+    var = jnp.asarray(rng.rand(f).astype(np.float32) + 0.5)
+    return scale, bias, mean, var
+
+
+@pytest.mark.parametrize("variant", ["rows1", "rows2", "chunked"])
+def test_deconv_stage_parity(rng, variant):
+    V, H, W, C, F = 2, 8, 14, 64, 32
+    x = jnp.asarray(rng.randn(V, H, W, C).astype(np.float32))
+    k = jnp.asarray(rng.randn(4, 4, C, F).astype(np.float32) * 0.05)
+    scale, bias, mean, var = _rand_bn(rng, F)
+
+    ct = nn.ConvTranspose(F, (4, 4), strides=(2, 2), padding="SAME",
+                          use_bias=False)
+    y = ct.apply({"params": {"kernel": k}}, x)
+    a = scale / jnp.sqrt(var + 1e-5)
+    ref = jnp.maximum(y * a + (bias - mean * a), 0.0)
+
+    aff = bn_affine(scale, bias, mean, var)
+    if variant == "chunked":
+        got = deconv_stage_chunked(x, pack_k4(k), aff, NC=4, interpret=True)
+    else:
+        nb = 1 if variant == "rows1" else 2
+        got = deconv_stage_rows(x, pack_k4(k), aff, NB=nb, interpret=True)
+    assert got.shape == ref.shape
+    # kernel computes in bf16 (the serving dtype); f32 reference
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref), atol=5e-2, rtol=5e-2)
+
+
+def test_pose_resnet_pallas_head_matches_xla(rng):
+    x = jnp.asarray(rng.rand(2, 64, 96, 3).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    bb_x = PoseResNet(num_joints=15, num_layers=18, dtype=jnp.bfloat16,
+                      head="xla")
+    bb_p = PoseResNet(num_joints=15, num_layers=18, dtype=jnp.bfloat16,
+                      head="pallas")
+    vars_x = bb_x.init(key, x, train=False)
+    vars_p = bb_p.init(key, x, train=False)
+    # identical variable trees -> checkpoints interchangeable
+    assert (jtu.tree_map(lambda a: a.shape, vars_x)
+            == jtu.tree_map(lambda a: a.shape, vars_p))
+    assert jtu.tree_all(
+        jtu.tree_map(lambda a, b: bool(jnp.all(a == b)), vars_x, vars_p))
+
+    yx = bb_x.apply(vars_x, x, train=False)
+    yp = bb_p.apply(vars_x, x, train=False)
+    scale = float(jnp.max(jnp.abs(yx)))
+    assert float(jnp.max(jnp.abs(yx - yp))) < 5e-3 * max(scale, 1.0)
+
+
+def test_pose_resnet_pallas_head_rejects_train(rng):
+    x = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+    bb = PoseResNet(num_joints=15, num_layers=18, head="pallas")
+    with pytest.raises(ValueError, match="inference-only"):
+        bb.init(jax.random.PRNGKey(0), x, train=True)
+
+
+def test_weightnet_pallas_matches_xla(rng):
+    x = jnp.asarray(rng.rand(6, 64, 64, 15).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    wn_x = WeightNet(dtype=jnp.bfloat16, use_pallas=False)
+    wn_p = WeightNet(dtype=jnp.bfloat16, use_pallas=True)
+    vx = wn_x.init(key, x, train=False)
+    vp = wn_p.init(key, x, train=False)
+    assert (jtu.tree_map(lambda a: a.shape, vx)
+            == jtu.tree_map(lambda a: a.shape, vp))
+    assert jtu.tree_all(
+        jtu.tree_map(lambda a, b: bool(jnp.all(a == b)), vx, vp))
+
+    # perturb BN stats so the fold is non-trivial
+    vx = jtu.tree_map(
+        lambda a: a + 0.01 * rng.rand(*a.shape).astype(np.float32)
+        if a.ndim == 1 else a, vx)
+    yx = wn_x.apply(vx, x, train=False)
+    yp = wn_p.apply(vx, x, train=False)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yx), atol=2e-3)
