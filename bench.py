@@ -73,11 +73,17 @@ def main() -> None:
     # Panoptic jln64 defaults; bf16 network compute = the serving config
     # (params stay f32; heads accumulate f32; sampling already runs the
     # MXU's bf16 path for f32 inputs)
+    # serving lowerings: the Pallas deconv head is the measured-fastest
+    # variant on TPU (7.48 vs 9.51 ms same-run backbone); the stem stays
+    # XLA (the host-s2d Pallas stem measured 3.0 vs 2.4 ms — sub-tile
+    # 12-lane im2col shifts). A/B without editing:
+    # FVP_BACKBONE_HEAD=xla FVP_BACKBONE_STEM=host_s2d python bench.py
+    on_tpu = not os.environ.get("FVP_PLATFORM")
     cfg = FVPConfig(
         compute_dtype="bfloat16",
-        # A/B without editing: FVP_BACKBONE_HEAD=polyphase python bench.py
         backbone_stem=os.environ.get("FVP_BACKBONE_STEM", "xla"),
-        backbone_head=os.environ.get("FVP_BACKBONE_HEAD", "xla"),
+        backbone_head=os.environ.get(
+            "FVP_BACKBONE_HEAD", "pallas" if on_tpu else "xla"),
     )
     rig = _panoptic_rig(cfg.num_views, cfg)
     rc = jax.tree_util.tree_map(jnp.asarray, build_rig_constants(cfg, rig))
@@ -90,8 +96,12 @@ def main() -> None:
     w, h = cfg.image_size
     hm_w, hm_h = cfg.heatmap_size
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.rand(1, cfg.num_views, h, w, 3)
-                         .astype(np.float32))
+    images_np = rng.rand(1, cfg.num_views, h, w, 3).astype(np.float32)
+    if cfg.backbone_stem == "host_s2d":
+        # the data pipeline ships space-to-depth frames (same bytes)
+        from fvp_tpu.ops.pallas.stem import s2d_host
+        images_np = s2d_host(images_np)
+    images = jnp.asarray(images_np)
     sample_hm = jnp.asarray(
         rng.rand(1, cfg.num_views, cfg.num_joints, hm_h, hm_w)
         .astype(np.float32))
@@ -134,8 +144,11 @@ def main() -> None:
         # default: it adds a fresh e2e compile at batch 8 and a ~236 MB
         # input upload, which the tunneled ~25 MB/s device link on this
         # machine handles poorly (see NOTES_ROUND2.md).
-        images8 = jnp.asarray(rng.rand(8, cfg.num_views, h, w, 3)
-                              .astype(np.float32))
+        images8_np = rng.rand(8, cfg.num_views, h, w, 3).astype(np.float32)
+        if cfg.backbone_stem == "host_s2d":
+            from fvp_tpu.ops.pallas.stem import s2d_host
+            images8_np = s2d_host(images8_np)
+        images8 = jnp.asarray(images8_np)
         t_b8 = time_fn(e2e, images8, iters=max(ITERS // 4, 5))
         log(f"batch-8 end-to-end: {t_b8 * 1000:.2f} ms "
             f"({8.0 / t_b8:.1f} frames/s throughput)")

@@ -83,8 +83,11 @@ class FVPConfig:
     pretrained_backbone: str = ""
     # TPU lowering modes for the backbone hot regions (numerically exact
     # and checkpoint-compatible; see models/resnet.py PoseResNet docstring)
-    backbone_stem: str = "xla"     # xla | s2d
-    backbone_head: str = "xla"     # xla | fused | polyphase
+    backbone_stem: str = "xla"     # xla | s2d | host_s2d (Pallas, s2d feed)
+    backbone_head: str = "xla"     # xla | fused | polyphase | pallas
+    # fused Pallas P2PNet at inference (measured slower than XLA at the
+    # flagship N=3*B*K — see models/faster_voxelpose.py localize)
+    fuse_p2p: bool = False
 
     # --- training --------------------------------------------------------
     train_dataset: str = "panoptic"
@@ -95,6 +98,12 @@ class FVPConfig:
     batch_size: int = 8
     test_batch_size: int = 8
     lr: float = 1e-4
+    # optional step-decay schedule (extension; the reference trains a
+    # fixed LR): multiply LR by lr_decay_factor at each listed epoch.
+    # steps_per_epoch is filled in by the train CLI from the dataset size.
+    lr_decay_epochs: tuple = ()
+    lr_decay_factor: float = 0.1
+    steps_per_epoch: int = 0
     begin_epoch: int = 0
     end_epoch: int = 10
     lambda_loss_2d: float = 1.0
@@ -205,6 +214,9 @@ def _apply_yaml(cfg_kw: dict[str, Any], doc: dict[str, Any]) -> None:
         elif sec_name == "TRAIN":
             take(sec, "BATCH_SIZE", "batch_size", int)
             take(sec, "LR", "lr", float)
+            take(sec, "LR_DECAY_EPOCHS", "lr_decay_epochs",
+                 lambda v: tuple(int(e) for e in v))
+            take(sec, "LR_DECAY_FACTOR", "lr_decay_factor", float)
             take(sec, "BEGIN_EPOCH", "begin_epoch", int)
             take(sec, "END_EPOCH", "end_epoch", int)
             take(sec, "LAMBDA_LOSS_2D", "lambda_loss_2d", float)

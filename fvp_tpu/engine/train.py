@@ -51,10 +51,24 @@ def _merge(hdn, jln):
     return {**hdn, **jln}
 
 
+def _lr_schedule(cfg: FVPConfig, per_k: int = 1):
+    """Constant LR (the reference trains fixed Adam 1e-4,
+    run/train.py:50-52); optional step decay via TRAIN.LR_DECAY_EPOCHS /
+    LR_DECAY_FACTOR — an extension the reference lacks, off by default.
+    `per_k`: optimizer updates per epoch are steps/k for MultiSteps."""
+    if not cfg.lr_decay_epochs:
+        return cfg.lr
+    spe = max(cfg.steps_per_epoch, 1)
+    bounds = {max(int(e) * spe // per_k, 1): cfg.lr_decay_factor
+              for e in cfg.lr_decay_epochs}
+    return optax.piecewise_constant_schedule(cfg.lr, bounds)
+
+
 def make_optimizers(cfg: FVPConfig):
-    hdn_tx = optax.MultiSteps(optax.adam(cfg.lr),
-                              every_k_schedule=cfg.accumulation_steps)
-    jln_tx = optax.adam(cfg.lr)
+    hdn_tx = optax.MultiSteps(
+        optax.adam(_lr_schedule(cfg, cfg.accumulation_steps)),
+        every_k_schedule=cfg.accumulation_steps)
+    jln_tx = optax.adam(_lr_schedule(cfg))
     return hdn_tx, jln_tx
 
 

@@ -115,8 +115,13 @@ def run_validation(cfg: FVPConfig, model, variables, dataset, rcs,
         if "render_params" in batch:
             x = jax.tree_util.tree_map(jnp.asarray, batch["render_params"])
         else:
-            x = jnp.asarray(batch.get("input_heatmaps",
-                                      batch.get("images")))
+            x = batch.get("input_heatmaps", batch.get("images"))
+            if ("input_heatmaps" not in batch
+                    and cfg.backbone_stem == "host_s2d"):
+                # Pallas stem input contract: ship space-to-depth frames
+                from fvp_tpu.ops.pallas.stem import s2d_host
+                x = s2d_host(np.asarray(x))
+            x = jnp.asarray(x)
         t0 = time.perf_counter()
         poses = eval_step(variables, x, rcs[seq])
         poses.block_until_ready()

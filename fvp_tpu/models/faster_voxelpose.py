@@ -117,7 +117,21 @@ class FasterVoxelPose(nn.Module):
                 heatmaps, rc, cfg, band_height=cfg.whole_band_height)
         else:
             volumes = jax.vmap(lambda h: project_whole(h, rc, cfg))(heatmaps)
-        hm2d, bbox_map = self.center_net(volumes, train)     # (B,X,Y,1),(B,X,Y,2)
+
+        fuse_tail = (use_pallas_sampling(cfg) and not train
+                     and not self.is_initializing())
+        from fvp_tpu.ops.pallas.hourglass import hourglass_supported
+        if fuse_tail and hourglass_supported((nx, ny, 1)):
+            # single-launch fused CenterNet (at B=1 serving shapes the XLA
+            # module pays ~30 launches on idle hardware); same variables
+            from fvp_tpu.ops.pallas.hourglass import pallas_centernet
+            bev = jnp.max(volumes, axis=3)                   # (B, X, Y, J)
+            hm2d, bbox_map = pallas_centernet(
+                self.center_net.variables, bev,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            hm2d, bbox_map = self.center_net(volumes, train)
+        # hm2d (B,X,Y,1), bbox_map (B,X,Y,2)
 
         confs2d, xy, flat = jax.vmap(
             lambda h: nms_topk_2d(h, K))(
@@ -131,8 +145,20 @@ class FasterVoxelPose(nn.Module):
         vol_flat = volumes.reshape(B, nx * ny, nz, -1)
         columns = jnp.take_along_axis(
             vol_flat, flat[:, :, None, None], axis=1)        # (B, K, Z, J)
-        hm1d = self.c2c_net(
-            columns.reshape(B * K, nz, -1), train).reshape(B, K, nz)
+        if cfg.fuse_p2p and fuse_tail and nz % 4 == 0:
+            # single-launch fused 1D net (items batched on sublanes).
+            # OFF by default like fuse_p2p: the per-call weight packing
+            # (~40 tiny XLA ops) costs what the single launch saves
+            # (0.88 vs 0.66 ms measured on v5e) — kept for param-frozen
+            # serving where packing could be hoisted.
+            from fvp_tpu.ops.pallas.hourglass import pallas_c2cnet
+            hm1d = pallas_c2cnet(
+                self.c2c_net.variables,
+                columns.reshape(B * K, nz, -1),
+                interpret=jax.default_backend() != "tpu").reshape(B, K, nz)
+        else:
+            hm1d = self.c2c_net(
+                columns.reshape(B * K, nz, -1), train).reshape(B, K, nz)
 
         hm1d_sg = jax.lax.stop_gradient(hm1d)
         z_idx = jnp.argmax(hm1d_sg, axis=2)                  # (B, K)
@@ -198,11 +224,15 @@ class FasterVoxelPose(nn.Module):
         # planes: (3, BK, A, B, J); offsets: (B, K, 3)
         flat_planes = planes.reshape(3 * B * K, *planes.shape[2:])
         from fvp_tpu.ops.pallas.hourglass import hourglass_supported
-        if (use_pallas_sampling(cfg) and not train
+        if (cfg.fuse_p2p and use_pallas_sampling(cfg) and not train
                 and not self.is_initializing()
                 and hourglass_supported(flat_planes.shape)):
-            # fused single-launch hourglass (inference; reads the same
-            # variables as the flax module -> checkpoints unchanged)
+            # fused single-launch hourglass (reads the same variables as
+            # the flax module -> checkpoints unchanged). OFF by default:
+            # at N=3*B*K plane stacks XLA already amortizes its launch
+            # overhead and the kernel's per-conv VMEM shift copies make
+            # it slightly slower (2.9 vs 2.2 ms measured on v5e) — kept
+            # for small-N serving and as the CenterNet/C2C template.
             from fvp_tpu.ops.pallas.hourglass import pallas_p2pnet
             feats = pallas_p2pnet(
                 self.p2p_net.variables, flat_planes, J,

@@ -289,17 +289,16 @@ class _PolyphaseDeconv(nn.Module):
         return ow.astype(self.dtype)
 
 
-class _DeconvKernel(nn.Module):
-    """Param-holder: declares the canonical ConvTranspose (4, 4, Cin, F)
-    kernel (same name/shape as nn.ConvTranspose) without running the op —
-    the Pallas head consumes the raw parameter."""
-    cin: int
-    features: int
+class _KernelParam(nn.Module):
+    """Param-holder: declares a conv/ConvTranspose 'kernel' of the given
+    shape (same name/shape/init as the nn module it stands in for) without
+    running the op — the Pallas lowerings consume the raw parameter."""
+    shape: tuple
 
     @nn.compact
     def __call__(self):
         return self.param("kernel", nn.initializers.lecun_normal(),
-                          (4, 4, self.cin, self.features))
+                          self.shape)
 
 
 class _HeadBN(nn.Module):
@@ -350,15 +349,31 @@ class PoseResNet(nn.Module):
         expansion = 4 if kind == "bottleneck" else 1
         d = self.dtype
 
-        if self.stem == "s2d":
-            x = _S2DStem(64, dtype=d, name="conv1")(x)
+        if self.stem == "host_s2d":
+            # input contract: the DATA PIPELINE ships space-to-depth(2)
+            # frames (B, H/2, W/2, 12) — see ops/pallas/stem.py (s2d_host
+            # at the feed points); conv1+bn1+relu+maxpool run as one
+            # fused Pallas kernel. Inference-only (folded BN).
+            from fvp_tpu.ops.pallas.stem import pallas_stem
+
+            if train:
+                raise ValueError(
+                    "stem='host_s2d' is inference-only (folded BN); use "
+                    "stem='xla' for training")
+            k = _KernelParam((7, 7, 3, 64), name="conv1")()
+            aff = _HeadBN(64, name="bn1")()
+            x = pallas_stem(x, k, aff,
+                            interpret=jax.default_backend() != "tpu")
         else:
-            x = nn.Conv(64, (7, 7), strides=(2, 2),
-                        padding=((3, 3), (3, 3)),
-                        use_bias=False, dtype=d, name="conv1")(x)
-        x = _BN(dtype=d, name="bn1")(x, train)
-        x = nn.relu(x)
-        x = _max_pool_3x3_s2(x)
+            if self.stem == "s2d":
+                x = _S2DStem(64, dtype=d, name="conv1")(x)
+            else:
+                x = nn.Conv(64, (7, 7), strides=(2, 2),
+                            padding=((3, 3), (3, 3)),
+                            use_bias=False, dtype=d, name="conv1")(x)
+            x = _BN(dtype=d, name="bn1")(x, train)
+            x = nn.relu(x)
+            x = _max_pool_3x3_s2(x)
 
         inplanes = 64
         for li, (planes, blocks) in enumerate(
@@ -383,7 +398,7 @@ class PoseResNet(nn.Module):
             cin = x.shape[-1]
             for di, feats in enumerate(self.deconv_filters):
                 kernels.append(
-                    _DeconvKernel(cin, feats, name=f"deconv{di}")())
+                    _KernelParam((4, 4, cin, feats), name=f"deconv{di}")())
                 affines.append(_HeadBN(feats, name=f"deconv_bn{di}")())
                 cin = feats
             x = pallas_deconv_head(

@@ -46,13 +46,16 @@ def _weightnet_kernel(xp_ref, w_ref, aff_ref, out_ref, *, A, B, J, C):
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)            # (A*B, J*C)
     h = jnp.maximum(h * aff_ref[0] + aff_ref[1], 0.0)  # affine + relu
-    # 2x2 maxpool: leading-dim pair-splits only (Mosaic has no strided
-    # vector slices); cols become the leading dim via one transpose
-    h = h.reshape(A, B, J * C)
+    # 2x2 maxpool in bf16 (relayouts are VMEM-bandwidth-bound — halving
+    # bytes halves the pool cost; the XLA module path pools in bf16 too):
+    # leading-dim pair-splits with a transpose for the col axis (a bf16
+    # sublane pair-split here tripped a Mosaic relayout bug on the
+    # following f32 convert)
+    h = h.astype(jnp.bfloat16).reshape(A, B, J * C)
     h = jnp.max(h.reshape(A // 2, 2, B, J * C), axis=1)
     h = h.swapaxes(0, 1)                               # (B, A/2, JC)
     h = jnp.max(h.reshape(B // 2, 2, A // 2, J * C), axis=1)
-    m = jnp.sum(h, axis=(0, 1)) / ((A // 2) * (B // 2))
+    m = jnp.sum(h.astype(jnp.float32), axis=(0, 1)) / ((A // 2) * (B // 2))
     out_ref[0] = jnp.broadcast_to(m[None, :], (8, J * C)
                                   ).astype(out_ref.dtype)
 

@@ -180,7 +180,15 @@ def inference_process(svc: ServiceConfig, frame_q: FrameQueue,
                                              train=False)["fused_poses"])
 
     if backbone is not None:
-        prepare = lambda views: _frames_to_images(cfg, views)  # noqa: E731
+        if cfg.backbone_stem == "host_s2d":
+            # Pallas stem input contract: space-to-depth on the host
+            from fvp_tpu.ops.pallas.stem import s2d_host
+
+            prepare = lambda views: s2d_host(          # noqa: E731
+                _frames_to_images(cfg, views))
+        else:
+            prepare = lambda views: _frames_to_images(  # noqa: E731
+                cfg, views)
     else:
         prepare = lambda views: _frames_to_heatmaps(cfg, views)  # noqa: E731
 

@@ -111,6 +111,10 @@ def main():
     train_ds = build_dataset(cfg.train_dataset, cfg, is_train=True)
     test_ds = build_dataset(cfg.test_dataset, cfg, is_train=False)
     logger.info(f"train: {len(train_ds)} frames, test: {len(test_ds)}")
+    if cfg.lr_decay_epochs and not cfg.steps_per_epoch:
+        # the LR schedule counts optimizer steps: fill in the epoch length
+        cfg = cfg.replace(
+            steps_per_epoch=max(len(train_ds) // cfg.batch_size, 1))
 
     backbone, backbone_vars = load_backbone(cfg)
     if backbone_vars is not None:

@@ -83,6 +83,30 @@ def test_pose_resnet_pallas_head_rejects_train(rng):
         bb.init(jax.random.PRNGKey(0), x, train=True)
 
 
+def test_pallas_stem_matches_xla_stem(rng):
+    """stem='host_s2d' (Pallas conv+bn+relu+pool over a host space-to-depth
+    input) against the canonical stem path, same conv1/bn1 parameters."""
+    img = rng.rand(2, 64, 96, 3).astype(np.float32)
+    key = jax.random.PRNGKey(7)
+    bb_x = PoseResNet(num_joints=15, num_layers=18, dtype=jnp.bfloat16,
+                      stem="xla")
+    bb_s = PoseResNet(num_joints=15, num_layers=18, dtype=jnp.bfloat16,
+                      stem="host_s2d")
+
+    from fvp_tpu.ops.pallas.stem import s2d_host
+    x = jnp.asarray(img)
+    xs = jnp.asarray(s2d_host(img))
+    vars_x = bb_x.init(key, x, train=False)
+    vars_s = bb_s.init(key, xs, train=False)
+    assert (jtu.tree_map(lambda a: a.shape, vars_x)
+            == jtu.tree_map(lambda a: a.shape, vars_s))
+
+    yx = bb_x.apply(vars_x, x, train=False)
+    ys = bb_s.apply(vars_x, xs, train=False)
+    scale = float(jnp.max(jnp.abs(yx)))
+    assert float(jnp.max(jnp.abs(yx - ys))) < 5e-3 * max(scale, 1.0)
+
+
 def test_weightnet_pallas_matches_xla(rng):
     x = jnp.asarray(rng.rand(6, 64, 64, 15).astype(np.float32))
     key = jax.random.PRNGKey(3)

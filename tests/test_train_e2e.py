@@ -50,6 +50,23 @@ def _dataset(rng, cfg, **kw):
     return ds, rig
 
 
+def test_lr_decay_schedule():
+    """Optional step-decay LR (extension; reference trains fixed Adam 1e-4
+    — run/train.py:50-52): decays at the configured epoch for both the
+    per-batch JLN optimizer and the k-accumulated HDN optimizer."""
+    from fvp_tpu.engine.train import _lr_schedule
+
+    cfg = e2e_cfg(lr=1e-4, lr_decay_epochs=(45,), lr_decay_factor=0.1,
+                  steps_per_epoch=200)
+    s = _lr_schedule(cfg)
+    assert np.isclose(float(s(0)), 1e-4, rtol=1e-6)
+    assert np.isclose(float(s(45 * 200 - 1)), 1e-4, rtol=1e-6)
+    assert np.isclose(float(s(45 * 200 + 1)), 1e-5, rtol=1e-6)
+    s4 = _lr_schedule(cfg, 4)
+    assert np.isclose(float(s4(45 * 50 + 1)), 1e-5, rtol=1e-6)
+    assert _lr_schedule(e2e_cfg()) == e2e_cfg().lr   # default: constant
+
+
 def test_synthetic_dataset_samples(rng):
     cfg = e2e_cfg()
     ds, _ = _dataset(rng, cfg)
