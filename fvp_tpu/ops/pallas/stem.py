@@ -117,7 +117,6 @@ def pallas_stem(x_s2d: jax.Array, kernel: jax.Array, affine: jax.Array,
     F = kernel.shape[-1]
     assert C == 12 and H2 % (2 * NB) == 0 and Wc % 2 == 0
     Rp = H2 // 2 // NB
-    RX = 2 * Rp + 6
 
     # conv taps (padding (2,1) on both axes of the s2d frame): row g taps
     # x[g-2+u], col j taps x[j-2+v]. Block b covers conv rows
