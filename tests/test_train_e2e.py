@@ -143,6 +143,47 @@ def test_checkpoint_roundtrip(tmp_path, rng):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
 
 
+def test_host_s2d_eval_feed_matches_xla_stem(rng):
+    """backbone_stem='host_s2d' eval contract: make_eval_step consumes
+    space-to-depth frames and produces the same poses as the XLA stem on
+    raw frames (same conv1/bn1 parameters; feed transform s2d_host)."""
+    from fvp_tpu.engine.validate import make_eval_step
+    from fvp_tpu.models.resnet import PoseResNet
+    from fvp_tpu.ops.pallas.stem import s2d_host
+
+    cfg = e2e_cfg(num_views=2, max_people=2, synthetic_max_people=1,
+                  image_size=(240, 128), heatmap_size=(60, 32),
+                  ori_image_size=(1920, 1080), test_heatmap_src="image")
+    ds, rig = _dataset(rng, cfg)
+    rc = build_rig_constants(cfg, rig)
+    model = FasterVoxelPose(cfg=cfg)
+
+    images = rng.rand(cfg.batch_size, cfg.num_views, 128, 240, 3
+                      ).astype(np.float32)
+    bb_x = PoseResNet(num_joints=cfg.num_joints, num_layers=18,
+                      stem="xla")
+    bb_s = PoseResNet(num_joints=cfg.num_joints, num_layers=18,
+                      stem="host_s2d")
+    bvars = bb_x.init(jax.random.PRNGKey(1), jnp.asarray(images[0]),
+                      train=False)
+
+    hm_w, hm_h = cfg.heatmap_size
+    sample_hm = jnp.zeros(
+        (cfg.batch_size, cfg.num_views, cfg.num_joints, hm_h, hm_w),
+        jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), sample_hm, rc,
+                           train=False)
+
+    step_x = make_eval_step(cfg, model, bb_x, bvars)
+    step_s = make_eval_step(cfg.replace(backbone_stem="host_s2d"),
+                            model, bb_s, bvars)
+    px = np.asarray(step_x(variables, jnp.asarray(images), rc))
+    ps = np.asarray(step_s(variables, jnp.asarray(s2d_host(images)), rc))
+    np.testing.assert_allclose(ps, px, atol=2.0)  # mm; bf16-free f32 path
+    # the pose tails (match idx, score) must agree exactly in sign
+    assert np.all((px[..., 3] >= 0) == (ps[..., 3] >= 0))
+
+
 def test_image_source_training_through_frozen_backbone(rng):
     """TRAIN_HEATMAP_SRC=image: images flow through the frozen backbone
     inside the jitted train step (reference lib/core/function.py:38-51,
