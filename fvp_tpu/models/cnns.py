@@ -117,7 +117,8 @@ class WeightNet(nn.Module):
         n, a, b, j = x.shape
         use_pallas = self.use_pallas
         if use_pallas is None:
-            use_pallas = (not train) and jax.default_backend() == "tpu"
+            use_pallas = jax.default_backend() == "tpu"
+        use_pallas = use_pallas and not train   # kernel is inference-only
         if use_pallas:
             from fvp_tpu.models.blocks import BNVars
             from fvp_tpu.ops.pallas.weightnet import pallas_weightnet_pool

@@ -96,10 +96,15 @@ class FasterVoxelPose(nn.Module):
         self.center_net = CenterNet(dtype=dtype)
         self.c2c_net = C2CNet(dtype=dtype)
         self.p2p_net = P2PNet(num_joints=self.cfg.num_joints, dtype=dtype)
+        # explicit sampling_backend='pallas' forces the fused WeightNet
+        # (interpret off-TPU) so tests/benches exercise the whole fused
+        # path; 'auto' defers to WeightNet's own inference-on-TPU gate
         self.weight_net = WeightNet(
             feat_channels=self.cfg.num_channel_joint_feat,
             hidden_channels=self.cfg.num_channel_joint_hidden,
-            dtype=dtype)
+            dtype=dtype,
+            use_pallas=True if self.cfg.sampling_backend == "pallas"
+            else None)
 
     # ------------------------------------------------------------------
     def detect(self, heatmaps, rc: RigConstants, train: bool,
@@ -114,7 +119,8 @@ class FasterVoxelPose(nn.Module):
         if use_pallas_sampling(cfg):
             from fvp_tpu.ops.fast_sampling import project_whole_pallas_batched
             volumes = project_whole_pallas_batched(
-                heatmaps, rc, cfg, band_height=cfg.whole_band_height)
+                heatmaps, rc, cfg, band_height=cfg.whole_band_height,
+                interpret=jax.default_backend() != "tpu")
         else:
             volumes = jax.vmap(lambda h: project_whole(h, rc, cfg))(heatmaps)
 
@@ -214,7 +220,8 @@ class FasterVoxelPose(nn.Module):
             )
             planes, offsets = sample_person_planes_pallas_batched(
                 heatmaps, rc, cfg, centers, bbox, person_mask=person_mask,
-                band_height=cfg.jln_band_height)
+                band_height=cfg.jln_band_height,
+                interpret=jax.default_backend() != "tpu")
         else:
             cubes, offsets = jax.vmap(
                 lambda h, c, b: sample_person_cubes(h, rc, cfg, c, b)
@@ -247,7 +254,8 @@ class FasterVoxelPose(nn.Module):
             from fvp_tpu.ops.pallas.softargmax import pallas_soft_argmax
             coords, confs = pallas_soft_argmax(
                 feats3.reshape(3, B * K, nx * nx, J),
-                rc.center_grid, cfg.beta)                    # (3, BK, J, 2)
+                rc.center_grid, cfg.beta,
+                interpret=jax.default_backend() != "tpu")    # (3, BK, J, 2)
         else:
             coords, confs = soft_argmax(
                 feats3.reshape(3, B * K, nx * nx, J),

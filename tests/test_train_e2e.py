@@ -143,6 +143,43 @@ def test_checkpoint_roundtrip(tmp_path, rng):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
 
 
+def test_model_level_pallas_inference_matches_exact(rng):
+    """End-to-end inference parity of the ENTIRE fused-kernel path —
+    Pallas whole-space sampler, person sampler + tri-plane collapse,
+    fused CenterNet, fused WeightNet, Pallas soft-argmax — against the
+    exact XLA path, in one model forward (interpret mode on CPU; the
+    per-op tests pin each kernel, this pins their composition and the
+    model's backend dispatch)."""
+    cfg = e2e_cfg(num_views=2, max_people=3, synthetic_max_people=2,
+                  synthetic_num_data=4)
+    ds, rig = _dataset(rng, cfg)
+    rc = build_rig_constants(cfg, rig)
+
+    batch = collate([ds.sample(i, rng=np.random.RandomState(i))
+                     for i in range(2)])
+    hm = jnp.asarray(batch["input_heatmaps"])
+
+    model_e = FasterVoxelPose(cfg=cfg.replace(sampling_backend="exact"))
+    model_p = FasterVoxelPose(cfg=cfg.replace(sampling_backend="pallas"))
+    variables = model_e.init(jax.random.PRNGKey(0), hm, rc, train=False)
+
+    out_e = model_e.apply(variables, hm, rc, train=False)
+    out_p = model_p.apply(variables, hm, rc, train=False)
+
+    # detection stage: same proposals (up to fp noise in scores)
+    np.testing.assert_allclose(np.asarray(out_p["proposals"][..., :3]),
+                               np.asarray(out_e["proposals"][..., :3]),
+                               atol=1e-3)
+    # fused poses: mm coordinates within kernel tolerance (bf16 sampling
+    # + band clipping; bounded in metric terms in CORRECTNESS_r02.md)
+    pe = np.asarray(out_e["fused_poses"][..., :3])
+    pp = np.asarray(out_p["fused_poses"][..., :3])
+    assert np.max(np.abs(pe - pp)) < 30.0   # mm, on untrained random nets
+    # matched-person masks identical
+    assert np.array_equal(np.asarray(out_p["mask"]),
+                          np.asarray(out_e["mask"]))
+
+
 def test_host_s2d_eval_feed_matches_xla_stem(rng):
     """backbone_stem='host_s2d' eval contract: make_eval_step consumes
     space-to-depth frames and produces the same poses as the XLA stem on
