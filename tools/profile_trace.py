@@ -55,8 +55,15 @@ def main() -> None:
     from fvp_tpu.models.resnet import PoseResNet
     from __graft_entry__ import _panoptic_rig
 
+    on_tpu = not os.environ.get("FVP_PLATFORM")
     cfg = (load_config(args.cfg) if args.cfg
-           else FVPConfig(compute_dtype="bfloat16"))
+           else FVPConfig(
+               compute_dtype="bfloat16",
+               # match bench.py's serving lowerings so the trace profiles
+               # what the headline number runs
+               backbone_stem=os.environ.get("FVP_BACKBONE_STEM", "xla"),
+               backbone_head=os.environ.get(
+                   "FVP_BACKBONE_HEAD", "pallas" if on_tpu else "xla")))
     rig = _panoptic_rig(cfg.num_views, cfg)
     rc = jax.tree_util.tree_map(jnp.asarray, build_rig_constants(cfg, rig))
     model = FasterVoxelPose(cfg=cfg)
