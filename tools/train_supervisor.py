@@ -46,9 +46,17 @@ def tail(path: str, n: int = 3) -> str:
 
 
 def run_attempt(cmd: list[str], log_path: str, stall_timeout: float,
-                grace: float) -> tuple[int | None, bool]:
+                grace: float,
+                compile_timeout: float = 3600.0) -> tuple[int | None, bool]:
     """Run one training attempt. Returns (exit_code_or_None, made_progress):
-    exit code None means we killed it for stalling."""
+    exit code None means we killed it for stalling.
+
+    Two-phase stall detection: until the first training-step line appears
+    (a "] loss" marker), the attempt is presumed to be COMPILING — remote
+    compiles on this machine run 25+ min with zero log output, and a
+    short timeout kills healthy runs (observed round 3). Once stepping,
+    the steady-state `stall_timeout` applies (a wedged device fetch shows
+    up as log silence within seconds of real time)."""
     with open(log_path, "ab") as log:
         log.write(f"\n=== supervisor: launching {' '.join(cmd)} ===\n"
                   .encode())
@@ -56,6 +64,7 @@ def run_attempt(cmd: list[str], log_path: str, stall_timeout: float,
         proc = subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT,
                                 start_new_session=True, cwd=REPO)
     made_progress = False
+    stepping = False
     last_size = os.path.getsize(log_path)
     last_change = time.monotonic()
     while True:
@@ -65,11 +74,18 @@ def run_attempt(cmd: list[str], log_path: str, stall_timeout: float,
         time.sleep(5.0)
         size = os.path.getsize(log_path)
         if size != last_size:
+            if not stepping:
+                with open(log_path, "rb") as f:
+                    f.seek(last_size)
+                    if b"] loss" in f.read(size - last_size):
+                        stepping = True
             last_size = size
             last_change = time.monotonic()
             made_progress = True
-        elif time.monotonic() - last_change > stall_timeout:
-            print(f"supervisor: no log progress for {stall_timeout:.0f}s "
+        elif (time.monotonic() - last_change
+              > (stall_timeout if stepping else compile_timeout)):
+            limit = stall_timeout if stepping else compile_timeout
+            print(f"supervisor: no log progress for {limit:.0f}s "
                   f"— dumping stacks and restarting", flush=True)
             print(f"  last log lines:\n{tail(log_path)}", flush=True)
             try:
@@ -91,7 +107,13 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg", required=True)
     parser.add_argument("--save-every", type=int, default=50)
-    parser.add_argument("--stall-timeout", type=float, default=300.0)
+    parser.add_argument("--stall-timeout", type=float, default=300.0,
+                        help="log-silence limit once training steps are "
+                             "flowing")
+    parser.add_argument("--compile-timeout", type=float, default=3600.0,
+                        help="log-silence limit before the first step "
+                             "line (remote compiles are silent for 25+ "
+                             "min on this machine)")
     parser.add_argument("--grace", type=float, default=20.0)
     parser.add_argument("--max-restarts", type=int, default=5)
     parser.add_argument("--log", default=None)
@@ -112,7 +134,7 @@ def main() -> None:
         cmd = base + (["--resume"] if resume else [])
         print(f"supervisor: attempt {attempt}", flush=True)
         rc, progressed = run_attempt(cmd, log_path, args.stall_timeout,
-                                     args.grace)
+                                     args.grace, args.compile_timeout)
         if rc == 0:
             print("supervisor: training completed", flush=True)
             return
