@@ -123,6 +123,10 @@ class FVPConfig:
     synthetic_max_people: int = 10
     synthetic_num_data: int = 10000
     synthetic_augmentation: bool = True
+    # Framework extension (no reference counterpart): load pre-generated
+    # scene records from a pickle instead of sampling them, so two
+    # frameworks can train on byte-identical scenes (cross-framework A/B).
+    synthetic_scene_file: str = ""
 
     # --- runtime ---------------------------------------------------------
     output_dir: str = "output"
@@ -231,6 +235,7 @@ def _apply_yaml(cfg_kw: dict[str, Any], doc: dict[str, Any]) -> None:
             take(sec, "MAX_PEOPLE", "synthetic_max_people", int)
             take(sec, "NUM_DATA", "synthetic_num_data", int)
             take(sec, "DATA_AUGMENTATION", "synthetic_augmentation", bool)
+            take(sec, "SCENE_FILE", "synthetic_scene_file", str)
         elif sec_name == "BACKBONE":
             cfg_kw["backbone"] = str(sec)
             continue

@@ -57,9 +57,21 @@ class SyntheticDataset(PoseDataset):
         self._space_max = np.array(cfg.space_center[:2]) \
             + np.array(cfg.space_size[:2]) / 2.0
 
-        rng = np.random.RandomState(seed)
-        for _ in range(self.num_data):
-            self.records.append(self._make_scene(rng))
+        if cfg.synthetic_scene_file:
+            # Cross-framework A/B mode: consume pre-generated scenes so a
+            # second framework (e.g. the reference's torch code) can train
+            # on byte-identical records (see tools/ab_export_scenes.py).
+            import pickle
+
+            with open(cfg.synthetic_scene_file, "rb") as f:
+                payload = pickle.load(f)
+            split = "train" if is_train else "test"
+            self.records = list(payload[split])
+            self.num_data = len(self.records)
+        else:
+            rng = np.random.RandomState(seed)
+            for _ in range(self.num_data):
+                self.records.append(self._make_scene(rng))
 
         # synthetic scenes carry exact GT joints, so the Panoptic
         # AP/MPJPE protocol (eval/ap.py) applies verbatim; used for
