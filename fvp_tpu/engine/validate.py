@@ -30,7 +30,7 @@ from fvp_tpu.models.faster_voxelpose import FasterVoxelPose
 
 
 def make_eval_step(cfg: FVPConfig, model: FasterVoxelPose,
-                   backbone=None, backbone_vars=None):
+                   backbone=None, backbone_vars=None, mesh=None):
     """Returns a jitted fn: (variables, batch_input, rc) -> fused poses.
 
     batch_input is images (B, V, H, W, 3) when the TEST heatmap source is
@@ -39,11 +39,15 @@ def make_eval_step(cfg: FVPConfig, model: FasterVoxelPose,
     precomputed heatmaps (B, V, J, h, w). A loaded backbone is ignored for
     gt/pred test sources — eval dispatch follows cfg.test_heatmap_src, not
     backbone presence (a config may carry PRETRAINED_BACKBONE for training
-    while evaluating from rendered heatmaps)."""
+    while evaluating from rendered heatmaps).
+
+    `mesh`: optional pipeline mesh (e.g. ('data', 'space') from
+    parallel.spatial.make_pipeline_mesh). Batch inputs/outputs are sharded
+    over 'data'; weights and rig constants replicated; the model's own
+    `spatial_mesh` handles the in-model 'space' partitioning."""
     if cfg.test_heatmap_src != "image":
         backbone = None
 
-    @jax.jit
     def eval_step(variables, batch_input, rc):
         if backbone is not None:
             B, V = batch_input.shape[:2]
@@ -63,7 +67,27 @@ def make_eval_step(cfg: FVPConfig, model: FasterVoxelPose,
         out = model.apply(variables, heatmaps, rc, train=False)
         return out["fused_poses"]
 
-    return eval_step
+    if mesh is None:
+        return jax.jit(eval_step)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data")) if "data" in mesh.axis_names \
+        else repl
+
+    def compiled(variables, batch_input, rc):
+        def spec_of(tree, s):
+            return jax.tree_util.tree_map(lambda _: s, tree)
+
+        fn = jax.jit(eval_step,
+                     in_shardings=(spec_of(variables, repl),
+                                   spec_of(batch_input, data),
+                                   spec_of(rc, repl)),
+                     out_shardings=data)
+        return fn(variables, batch_input, rc)
+
+    return compiled
 
 
 def eval_batches(dataset, batch_size: int):
@@ -85,6 +109,7 @@ def eval_batches(dataset, batch_size: int):
 def run_validation(cfg: FVPConfig, model, variables, dataset, rcs,
                    backbone=None, backbone_vars=None,
                    batch_size: Optional[int] = None,
+                   mesh=None,
                    log: Callable[[str], None] = print) -> dict:
     """Run the full eval loop; returns dict with fused poses, fps stats and
     (if the dataset has an evaluator) metrics.
@@ -95,7 +120,8 @@ def run_validation(cfg: FVPConfig, model, variables, dataset, rcs,
     bs = batch_size or cfg.test_batch_size
     if not isinstance(rcs, Mapping):
         rcs = {rec["seq"]: rcs for rec in dataset.records}
-    eval_step = make_eval_step(cfg, model, backbone, backbone_vars)
+    eval_step = make_eval_step(cfg, model, backbone, backbone_vars,
+                               mesh=mesh)
 
     all_poses = None
     times = []

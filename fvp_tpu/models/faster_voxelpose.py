@@ -87,9 +87,27 @@ def match_proposals_to_gt(centers_mm, bbox_preds, roots_3d, gt_bbox,
 
 
 class FasterVoxelPose(nn.Module):
-    """HDN + JLN. `heatmaps` layout: (B, V, J, H, W)."""
+    """HDN + JLN. `heatmaps` layout: (B, V, J, H, W).
+
+    `spatial_mesh`: optional ('data', 'space') jax.sharding.Mesh. When set
+    (and the 'space' axis is non-trivial), the whole-space volume and BEV
+    maps are sharded over voxel x-row blocks: the sampler output gets a
+    GSPMD sharding constraint, CenterNet is partitioned by GSPMD (XLA
+    inserts the conv seam halos), and NMS+top-K runs through the explicit
+    ppermute-halo shard_map (parallel/spatial.py). This is the framework's
+    context-parallel axis — the reference's single-device 3x3 NMS
+    (lib/core/proposal.py:49) and BEV z-collapse (lib/models/cnns_2d.py:291)
+    are the ops whose seam semantics it preserves. Spatial configs use the
+    XLA sampling path (GSPMD-partitionable); the Pallas kernels remain the
+    single-chip serving path.
+    """
 
     cfg: FVPConfig
+    spatial_mesh: Optional[object] = None
+
+    def _spatial_active(self) -> bool:
+        from fvp_tpu.parallel.spatial import spatial_size
+        return spatial_size(self.spatial_mesh) > 1
 
     def setup(self):
         dtype = jnp.dtype(self.cfg.compute_dtype)
@@ -116,15 +134,21 @@ class FasterVoxelPose(nn.Module):
         K = cfg.max_people
         nx, ny, nz = cfg.voxels_per_axis
 
-        if use_pallas_sampling(cfg):
+        spatial = self._spatial_active()
+        if use_pallas_sampling(cfg) and not spatial:
             from fvp_tpu.ops.fast_sampling import project_whole_pallas_batched
             volumes = project_whole_pallas_batched(
                 heatmaps, rc, cfg, band_height=cfg.whole_band_height,
                 interpret=jax.default_backend() != "tpu")
         else:
             volumes = jax.vmap(lambda h: project_whole(h, rc, cfg))(heatmaps)
+        if spatial:
+            from fvp_tpu.parallel.spatial import spatial_sharding_constraint
+            # (B, X, Y, Z, J): split voxel x-rows across the 'space' axis
+            volumes = spatial_sharding_constraint(
+                volumes, self.spatial_mesh, axis=1)
 
-        fuse_tail = (use_pallas_sampling(cfg) and not train
+        fuse_tail = (use_pallas_sampling(cfg) and not train and not spatial
                      and not self.is_initializing())
         from fvp_tpu.ops.pallas.hourglass import hourglass_supported
         if fuse_tail and hourglass_supported((nx, ny, 1)):
@@ -139,9 +163,14 @@ class FasterVoxelPose(nn.Module):
             hm2d, bbox_map = self.center_net(volumes, train)
         # hm2d (B,X,Y,1), bbox_map (B,X,Y,2)
 
-        confs2d, xy, flat = jax.vmap(
-            lambda h: nms_topk_2d(h, K))(
-                jax.lax.stop_gradient(hm2d[..., 0]))
+        if spatial:
+            from fvp_tpu.parallel.spatial import sharded_nms_topk_2d
+            confs2d, xy, flat = sharded_nms_topk_2d(
+                self.spatial_mesh, jax.lax.stop_gradient(hm2d[..., 0]), K)
+        else:
+            confs2d, xy, flat = jax.vmap(
+                lambda h: nms_topk_2d(h, K))(
+                    jax.lax.stop_gradient(hm2d[..., 0]))
 
         bbox_flat = bbox_map.reshape(B, nx * ny, 2)
         match_bbox = jnp.take_along_axis(
@@ -214,7 +243,10 @@ class FasterVoxelPose(nn.Module):
         bbox = proposals[..., 5:7]
         person_mask = proposals[..., 3] >= 0
 
-        if use_pallas_sampling(cfg):
+        # under a spatial mesh everything runs on the GSPMD-partitionable
+        # XLA paths (a pallas_call can't be partitioned by GSPMD)
+        pallas = use_pallas_sampling(cfg) and not self._spatial_active()
+        if pallas:
             from fvp_tpu.ops.fast_sampling import (
                 sample_person_planes_pallas_batched,
             )
@@ -231,7 +263,7 @@ class FasterVoxelPose(nn.Module):
         # planes: (3, BK, A, B, J); offsets: (B, K, 3)
         flat_planes = planes.reshape(3 * B * K, *planes.shape[2:])
         from fvp_tpu.ops.pallas.hourglass import hourglass_supported
-        if (cfg.fuse_p2p and use_pallas_sampling(cfg) and not train
+        if (cfg.fuse_p2p and pallas and not train
                 and not self.is_initializing()
                 and hourglass_supported(flat_planes.shape)):
             # fused single-launch hourglass (reads the same variables as
@@ -248,7 +280,7 @@ class FasterVoxelPose(nn.Module):
             feats = self.p2p_net(flat_planes, train)
         feats3 = feats.reshape(3, B * K, nx, nx, J)
 
-        if use_pallas_sampling(cfg) and not train:
+        if pallas and not train:
             # fused single-pass kernel; inference only (the XLA path below
             # provides the softmax backward for the joint loss)
             from fvp_tpu.ops.pallas.softargmax import pallas_soft_argmax

@@ -42,15 +42,38 @@ def make_spatial_mesh(n_blocks: int, devices=None) -> Mesh:
     return Mesh(np.asarray(devices[:n_blocks]), axis_names=("space",))
 
 
+def make_pipeline_mesh(n_data: int, n_space: int, devices=None) -> Mesh:
+    """('data', 'space') mesh for the spatially-sharded eval pipeline:
+    batch over 'data', whole-space voxel x-rows over 'space'."""
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= n_data * n_space, (len(devices), n_data, n_space)
+    import numpy as np
+    return Mesh(
+        np.asarray(devices[:n_data * n_space]).reshape(n_data, n_space),
+        axis_names=("data", "space"))
+
+
+def spatial_size(mesh) -> int:
+    """Number of voxel-row blocks ('space' axis extent; 1 = not sharded)."""
+    if mesh is None or "space" not in mesh.axis_names:
+        return 1
+    return mesh.shape["space"]
+
+
 def sharded_nms_topk_2d(mesh: Mesh, hm: jax.Array, max_num: int,
                         kernel: int = 3):
     """Spatially-sharded equivalent of ops.nms.nms_topk_2d over a batch.
 
     hm: (B, X, Y) BEV heatmaps, X divisible by the mesh's 'space' size.
-    Returns (vals (B, K), xy (B, K, 2) int32, flat (B, K)) — replicated,
-    bitwise equal to the single-device op (including tie order: the merged
-    candidate list is shard-major, i.e. flat-index-major for equal values,
-    matching jax.lax.top_k's lower-index-first tie-breaking)."""
+    Returns (vals (B, K), xy (B, K, 2) int32, flat (B, K)) — replicated
+    across 'space', bitwise equal to the single-device op (including tie
+    order: the merged candidate list is shard-major, i.e. flat-index-major
+    for equal values, matching jax.lax.top_k's lower-index-first
+    tie-breaking).
+
+    Composable under an outer jit: only the 'space' axis is manual
+    (shard_map axis_names); other mesh axes (e.g. 'data') stay under GSPMD,
+    so this runs inside a spatially-sharded model forward unchanged."""
     n = mesh.shape["space"]
     B, X, Y = hm.shape
     assert X % n == 0, (X, n)
@@ -95,8 +118,9 @@ def sharded_nms_topk_2d(mesh: Mesh, hm: jax.Array, max_num: int,
     fn = shard_map(block_fn, mesh=mesh,
                    in_specs=P(None, "space", None),
                    out_specs=(P(), P(), P()),
+                   axis_names=frozenset({"space"}),
                    check_vma=False)
-    return jax.jit(fn)(hm)
+    return fn(hm)
 
 
 def spatial_sharding_constraint(x: jax.Array, mesh: Mesh,
@@ -107,3 +131,37 @@ def spatial_sharding_constraint(x: jax.Array, mesh: Mesh,
     spec[axis] = "space"
     return jax.lax.with_sharding_constraint(
         x, jax.sharding.NamedSharding(mesh, P(*spec)))
+
+
+def make_spatial_eval_step(cfg, model, mesh: Mesh):
+    """Jitted eval forward over a ('data', 'space') pipeline mesh.
+
+    The batch is sharded over 'data'; inside the model (which must carry
+    `spatial_mesh=mesh`) the whole-space volume and BEV maps are sharded
+    over 'space' (GSPMD partitions the sampler gathers and CenterNet convs,
+    inserting the seam halos itself) and NMS+top-K runs through the
+    explicit ppermute-halo shard_map above. Heatmaps and rig constants are
+    replicated across 'space' — the per-view heatmaps are small
+    (V·J·h·w ≈ 7 MB fp32 at flagship shapes) while the volume they expand
+    into is the thing that outgrows a chip (X·Y·Z·J), which is exactly the
+    axis this shards.
+    """
+    from jax.sharding import NamedSharding
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+
+    def fwd(variables, heatmaps, rc):
+        return model.apply(variables, heatmaps, rc, train=False)[
+            "fused_poses"]
+
+    def spec_of(tree, s):
+        return jax.tree_util.tree_map(lambda _: s, tree)
+
+    def compiled(variables, heatmaps, rc):
+        fn = jax.jit(fwd, in_shardings=(spec_of(variables, repl), data,
+                                        spec_of(rc, repl)),
+                     out_shardings=data)
+        return fn(variables, heatmaps, rc)
+
+    return compiled

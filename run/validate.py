@@ -21,6 +21,11 @@ if os.environ.get("FVP_PLATFORM"):
     # sitecustomize pins JAX_PLATFORMS before we run; this is the working
     # override for CPU runs (e.g. FVP_PLATFORM=cpu for machines w/o TPU)
     jax.config.update("jax_platforms", os.environ["FVP_PLATFORM"])
+if os.environ.get("FVP_CPU_DEVICES"):
+    # virtual CPU device count, e.g. FVP_CPU_DEVICES=8 to rehearse
+    # --mesh data=2,space=4 without TPU hardware
+    jax.config.update("jax_num_cpu_devices",
+                      int(os.environ["FVP_CPU_DEVICES"]))
 import jax.numpy as jnp
 
 from fvp_tpu.config import load_config
@@ -40,6 +45,12 @@ def main():
                         choices=["auto", "pallas", "exact"],
                         help="override MODEL.SAMPLING_BACKEND (for "
                              "pallas-vs-exact A/B evals)")
+    parser.add_argument("--mesh", default=None,
+                        help="pipeline mesh spec, e.g. 'data=2,space=4': "
+                             "shard eval batches over 'data' and the "
+                             "whole-space voxel volume over 'space' "
+                             "(voxel-block spatial parallelism with halo "
+                             "exchange at block seams)")
     args = parser.parse_args()
 
     cfg = load_config(args.cfg)
@@ -48,9 +59,25 @@ def main():
     cfg_name = os.path.splitext(os.path.basename(args.cfg))[0]
     logger, out_dir = create_logger(cfg.output_dir, cfg_name, "validate")
 
+    mesh = None
+    if args.mesh:
+        from fvp_tpu.parallel.spatial import make_pipeline_mesh
+
+        spec = dict(kv.split("=") for kv in args.mesh.split(","))
+        n_data = int(spec.pop("data", 1))
+        n_space = int(spec.pop("space", 1))
+        if spec:
+            parser.error(f"unknown mesh axes {sorted(spec)} "
+                         "(supported: data, space)")
+        mesh = make_pipeline_mesh(n_data, n_space)
+        logger.info(f"pipeline mesh: {n_data} data x {n_space} space over "
+                    f"{jax.device_count()} devices")
+        if cfg.batch_size % n_data:
+            logger.warning("TEST batch size not divisible by the data axis")
+
     test_ds = build_dataset(cfg.test_dataset, cfg, is_train=False)
     logger.info(f"test: {len(test_ds)} frames")
-    model = FasterVoxelPose(cfg=cfg)
+    model = FasterVoxelPose(cfg=cfg, spatial_mesh=mesh)
 
     from run.train import load_backbone
     backbone, backbone_vars = load_backbone(cfg)
@@ -78,7 +105,7 @@ def main():
 
     res = run_validation(cfg, model, variables, test_ds, rcs,
                          backbone=backbone, backbone_vars=backbone_vars,
-                         log=logger.info)
+                         mesh=mesh, log=logger.info)
     if "fps" in res:
         logger.info(f"FPS (warm-up excluded): {res['fps']:.2f}  "
                     f"batch ms: {res['batch_ms']}")
