@@ -53,3 +53,42 @@ def test_defaults_roundtrip():
     cfg = FVPConfig()
     cfg2 = cfg.replace(num_views=3)
     assert cfg2.num_views == 3 and cfg.num_views == 5
+
+
+def test_gen_config_roundtrip(tmp_path):
+    """gen_config (reverse YAML dump; reference lib/core/config.py:191-198):
+    load_config(gen_config(cfg)) == cfg, for defaults and for a config with
+    schema-expressible and framework-extension fields changed."""
+    from fvp_tpu.config import gen_config
+
+    for cfg in (
+        FVPConfig(),
+        FVPConfig(num_views=3, heatmap_size=(120, 64),
+                  voxels_per_axis=(48, 48, 12), root_joint_id=(11, 12),
+                  lr_decay_epochs=(55, 70), device_render=True,
+                  backbone_head="pallas", synthetic_scene_file="/tmp/x.pkl",
+                  train_dataset="synthetic", data_augmentation=True),
+    ):
+        p = str(tmp_path / "dump.yaml")
+        gen_config(cfg, p)
+        assert load_config(p) == cfg
+
+
+def test_gen_config_default_dump_is_reference_schema(tmp_path):
+    """A default-config dump contains only sections/keys the REFERENCE
+    loader itself accepts (lib/core/config.py:15-144) — extension keys are
+    elided at their defaults, so reference users can consume the file."""
+    import yaml
+
+    from fvp_tpu.config import gen_config
+
+    p = str(tmp_path / "dump.yaml")
+    gen_config(FVPConfig(), p)
+    with open(p) as f:
+        doc = yaml.safe_load(f)
+    assert "RESNET" not in doc
+    for sec, keys in (("DATASET", {"DEVICE_RENDER"}),
+                      ("TRAIN", {"LR_DECAY_EPOCHS", "LR_DECAY_FACTOR"}),
+                      ("SYNTHETIC", {"SCENE_FILE"}),
+                      ("NETWORK", {"JLN_BAND_HEIGHT", "WHOLE_BAND_HEIGHT"})):
+        assert not keys & set(doc[sec]), (sec, keys & set(doc[sec]))
