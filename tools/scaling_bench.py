@@ -42,17 +42,46 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _fence(out):
+    """Completion fence. Single-process: a scalar device fetch (this
+    runtime's block_until_ready under-reports). Multi-process: the global
+    output is not fully addressable, so fetch from the first local shard
+    (still a real device->host readback)."""
+    if out.is_fully_addressable:
+        float(jnp.sum(out[..., 4]))
+    else:
+        np.asarray(out.addressable_shards[0].data).ravel()[:1]
+        jax.block_until_ready(out)
+
+
 def measure(step, args_, iters: int = 20, warmup: int = 2) -> float:
-    """Steps/s with warm-up excluded; fenced with a scalar fetch (this
-    runtime's block_until_ready under-reports)."""
+    """Steps/s with warm-up excluded (see _fence)."""
     for _ in range(warmup):
         out = step(*args_)
-    float(jnp.sum(out[..., 4]))
+    _fence(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(*args_)
-    float(jnp.sum(out[..., 4]))
+    _fence(out)
     return iters / (time.perf_counter() - t0)
+
+
+def make_global(tree, mesh, spec_tree):
+    """Host-local full-value arrays -> global jax.Arrays on `mesh`.
+
+    Each process holds the full logical value (identical across processes —
+    deterministic init / shared RNG seed) and contributes only its local
+    shards; this is the standard multi-host ingestion pattern
+    (jax.make_array_from_callback). Works unchanged in single-process mode.
+    """
+    from jax.sharding import NamedSharding
+
+    def put(x, spec):
+        s = NamedSharding(mesh, spec)
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(put, tree, spec_tree)
 
 
 def main():
@@ -98,26 +127,38 @@ def main():
         lambda k, s: model.init(k, s, rc, train=False)
     )(jax.random.PRNGKey(0), hm1)
 
-    # -- single chip baseline ------------------------------------------
+    # -- single chip baseline (per-process local device) ----------------
     single = jax.jit(lambda v, h, r: model.apply(
         v, h, r, train=False)["fused_poses"])
     fps1 = measure(lambda *a: single(variables, hm1, rc), (),
                    iters=args.iters) * args.batch_per_chip
     print(f"1 chip: {fps1:.2f} frames/s", flush=True)
 
-    results = {"n_devices": n, "fps_1chip": fps1}
+    results = {"n_devices": n, "n_processes": jax.process_count(),
+               "fps_1chip": fps1}
 
-    # -- full mesh ------------------------------------------------------
+    # -- full mesh (all devices, all processes) -------------------------
     if n > 1:
+        from jax.sharding import PartitionSpec as P
+
         n_data, n_view = pick_mesh_shape(n, num_views=cfg.num_views)
         mesh = make_mesh(n_data, n_view)
         hmN = batch(args.batch_per_chip * n_data)
+        # global arrays: batch sharded over ('data','view'), weights and
+        # rig constants replicated — in multi-process mode each process
+        # contributes its local shards (values identical across hosts:
+        # same seed, deterministic init)
+        g_vars, g_rc = make_global(
+            (variables, rc), mesh,
+            jax.tree_util.tree_map(lambda _: P(), (variables, rc)))
+        g_hm = make_global(hmN, mesh, P("data", "view"))
         with mesh:
             step = make_sharded_eval_step(cfg, model, mesh)
-            fpsN = measure(lambda *a: step(variables, hmN, rc), (),
+            fpsN = measure(lambda *a: step(g_vars, g_hm, g_rc), (),
                            iters=args.iters) * args.batch_per_chip * n_data
         eff = fpsN / (fps1 * n)
-        print(f"{n} chips ({n_data} data x {n_view} view): "
+        print(f"{n} chips ({n_data} data x {n_view} view, "
+              f"{jax.process_count()} process(es)): "
               f"{fpsN:.2f} frames/s, scaling efficiency {eff:.1%}",
               flush=True)
         results.update({"fps_mesh": fpsN, "mesh": [n_data, n_view],
