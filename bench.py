@@ -131,6 +131,15 @@ def main() -> None:
     bb_vars = backbone.init(key, images[0], train=False)
     variables = model.init(key, sample_hm, rc, train=False)
 
+    # hoist the Pallas serving kernels' weight packing to load time
+    # (engine/packing.py — loop-invariant for frozen-param serving)
+    from fvp_tpu.engine.packing import (
+        pack_backbone_variables, pack_model_variables,
+    )
+    variables = pack_model_variables(cfg, variables)
+    if cfg.backbone_head == "pallas":
+        bb_vars = pack_backbone_variables(bb_vars)
+
     @jax.jit
     def backbone_only(images):
         B, V = images.shape[:2]

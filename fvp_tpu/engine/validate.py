@@ -120,6 +120,17 @@ def run_validation(cfg: FVPConfig, model, variables, dataset, rcs,
     bs = batch_size or cfg.test_batch_size
     if not isinstance(rcs, Mapping):
         rcs = {rec["seq"]: rcs for rec in dataset.records}
+    if "packed" not in variables and "batch_stats" in variables:
+        # hoist the Pallas serving kernels' weight packing out of the
+        # jitted eval loop (engine/packing.py; no-op for paths that
+        # don't read it)
+        from fvp_tpu.engine.packing import pack_model_variables
+        variables = pack_model_variables(cfg, variables)
+    if (backbone is not None and backbone_vars is not None
+            and getattr(backbone, "head", None) == "pallas"
+            and "packed" not in backbone_vars):
+        from fvp_tpu.engine.packing import pack_backbone_variables
+        backbone_vars = pack_backbone_variables(backbone_vars)
     eval_step = make_eval_step(cfg, model, backbone, backbone_vars,
                                mesh=mesh)
 

@@ -128,7 +128,9 @@ class WeightNet(nn.Module):
             aff = BNVars(self.feat_channels, name="BatchNorm_0")()
             x = pallas_weightnet_pool(
                 x, kern, kbias, aff,
-                interpret=jax.default_backend() != "tpu")
+                interpret=jax.default_backend() != "tpu",
+                packed=(self.get_variable("packed", "fused")
+                        if self.has_variable("packed", "fused") else None))
             x = x.reshape(n * j, self.feat_channels)
         else:
             x = x.transpose(0, 3, 1, 2).reshape(n * j, a, b, 1)

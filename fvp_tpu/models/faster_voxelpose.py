@@ -158,7 +158,9 @@ class FasterVoxelPose(nn.Module):
             bev = jnp.max(volumes, axis=3)                   # (B, X, Y, J)
             hm2d, bbox_map = pallas_centernet(
                 self.center_net.variables, bev,
-                interpret=jax.default_backend() != "tpu")
+                interpret=jax.default_backend() != "tpu",
+                packed=self.center_net.variables.get(
+                    "packed", {}).get("fused"))
         else:
             hm2d, bbox_map = self.center_net(volumes, train)
         # hm2d (B,X,Y,1), bbox_map (B,X,Y,2)
@@ -190,7 +192,9 @@ class FasterVoxelPose(nn.Module):
             hm1d = pallas_c2cnet(
                 self.c2c_net.variables,
                 columns.reshape(B * K, nz, -1),
-                interpret=jax.default_backend() != "tpu").reshape(B, K, nz)
+                interpret=jax.default_backend() != "tpu",
+                packed=self.c2c_net.variables.get(
+                    "packed", {}).get("fused")).reshape(B, K, nz)
         else:
             hm1d = self.c2c_net(
                 columns.reshape(B * K, nz, -1), train).reshape(B, K, nz)
@@ -275,7 +279,9 @@ class FasterVoxelPose(nn.Module):
             from fvp_tpu.ops.pallas.hourglass import pallas_p2pnet
             feats = pallas_p2pnet(
                 self.p2p_net.variables, flat_planes, J,
-                interpret=jax.default_backend() != "tpu")
+                interpret=jax.default_backend() != "tpu",
+                packed=self.p2p_net.variables.get(
+                    "packed", {}).get("fused"))
         else:
             feats = self.p2p_net(flat_planes, train)
         feats3 = feats.reshape(3, B * K, nx, nx, J)

@@ -403,7 +403,10 @@ class PoseResNet(nn.Module):
                 cin = feats
             x = pallas_deconv_head(
                 x, kernels, affines,
-                interpret=jax.default_backend() != "tpu")
+                interpret=jax.default_backend() != "tpu",
+                packed=(self.get_variable("packed", "head_fused")
+                        if self.has_variable("packed", "head_fused")
+                        else None))
         elif self.head == "polyphase":
             # phase-blocked head: constant spatial res, one final d2s
             y = x[:, :, :, None, None, :]

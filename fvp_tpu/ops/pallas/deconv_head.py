@@ -229,19 +229,27 @@ def deconv_stage_chunked(x: jax.Array, k4: jax.Array, aff: jax.Array,
     return _stage_glue(out6, H, W, 1, 2 * H)
 
 
+def pack_deconv_head(kernels) -> dict:
+    """Pre-packed per-(tap, parity) deconv weights (pack_k4 of each stage)
+    — ~25 MB of transposes hoisted to model load instead of re-run inside
+    every jitted forward (engine/packing.py)."""
+    return {"k4": tuple(pack_k4(k) for k in kernels)}
+
+
 def pallas_deconv_head(x: jax.Array, kernels, affines,
-                       interpret: bool = False) -> jax.Array:
+                       interpret: bool = False,
+                       packed: dict | None = None) -> jax.Array:
     """The full 3-stage deconv head. x: (V, H, W, 2048) layer4 activations;
     kernels: 3 canonical (4, 4, Cin, 256) ConvTranspose params; affines:
     3 folded (2, 256) BN affines. Returns (V, 8H, 8W, 256) bf16.
 
     Inference-only (BN running stats); the XLA ConvTranspose path stays the
-    module default and the training path."""
+    module default and the training path. `packed`: optional pre-packed
+    weights (pack_deconv_head)."""
     V, H, W, C = x.shape
-    x = deconv_stage_chunked(x, pack_k4(kernels[0]), affines[0],
-                             interpret=interpret)
-    x = deconv_stage_rows(x, pack_k4(kernels[1]), affines[1], NB=1,
-                          interpret=interpret)
-    x = deconv_stage_rows(x, pack_k4(kernels[2]), affines[2], NB=8,
-                          interpret=interpret)
+    k4 = packed["k4"] if packed is not None \
+        else tuple(pack_k4(k) for k in kernels)
+    x = deconv_stage_chunked(x, k4[0], affines[0], interpret=interpret)
+    x = deconv_stage_rows(x, k4[1], affines[1], NB=1, interpret=interpret)
+    x = deconv_stage_rows(x, k4[2], affines[2], NB=8, interpret=interpret)
     return x

@@ -94,6 +94,19 @@ def _pack_upsample(params, stats, out):
                          ).astype(jnp.float32))
 
 
+def hourglass_projs(params) -> tuple:
+    """Static per-ResBlock projection flags (root, encoder 0-5, encoder 6)
+    — pure Python structure inspection, shared by the 2D and 1D packers and
+    by calls that consume pre-packed weights (so no XLA ops are traced to
+    recover them)."""
+    projs = ["Conv_2" in params["ResBlock_0"]]
+    enc = params["EncoderDecoder_0"]
+    for rb in ("ResBlock_0", "ResBlock_1", "ResBlock_2", "ResBlock_3",
+               "ResBlock_4", "ResBlock_5", "ResBlock_6"):
+        projs.append("Conv_2" in enc[rb])
+    return tuple(projs)
+
+
 def pack_hourglass_params(variables, front_kernel: int = 7):
     """Flatten a P2PNet/CenterNet-body variable tree into the kernel's
     ordered weight list. Returns (weights list, proj flags per ResBlock)."""
@@ -345,16 +358,13 @@ def _centernet_kernel(*refs, projs, H, W):
     size_ref[0] = size.reshape(H, W, 2)
 
 
-def pallas_centernet(variables, bev: jax.Array, interpret: bool = False):
-    """Fused CenterNet forward (inference). variables: the flax CenterNet
-    variable tree; bev: (B, X, Y, J) z-collapsed volume. Returns
-    (hm (B, X, Y, 1), size (B, X, Y, 2)) f32 — matches
-    CenterNet.apply(...) after its own max over z.
-
-    At B=1 serving shape the XLA module pays ~30 kernel launches on idle
-    hardware (~0.8 ms for ~1.5 GFLOP); this runs the whole net (heads
-    included) as one launch."""
-    weights, projs = pack_hourglass_params(variables)
+def pack_centernet(variables) -> dict:
+    """CenterNet serving weights as one array pytree. Computed ONCE at
+    model load (engine/packing.py) and carried in a 'packed' variable
+    collection, instead of re-deriving ~40 tiny XLA packing ops inside
+    every jitted forward (the per-call cost that made fused C2C/P2P lose
+    their A/Bs in round 3 — docs/PERFORMANCE.md)."""
+    weights, _ = pack_hourglass_params(variables)
     params, stats = variables["params"], variables["batch_stats"]
     # heads: hm = Conv_0 (3x3 -> head_conv) + relu + Conv_1 (1x1 -> 1 f32),
     # size = Conv_2 + relu + Conv_3 (models/cnns.py CenterNet)
@@ -370,8 +380,26 @@ def pallas_centernet(variables, bev: jax.Array, interpret: bool = False):
         _conv_w(params, "Conv_3")[0, 0].astype(_BF),
         params["Conv_3"]["bias"].reshape(1, -1).astype(jnp.float32),
     ]
-    return _centernet_call(bev.astype(_BF), tuple(weights), tuple(head),
-                           projs, interpret=interpret)
+    return {"body": tuple(weights), "head": tuple(head)}
+
+
+def pallas_centernet(variables, bev: jax.Array, interpret: bool = False,
+                     packed: dict | None = None):
+    """Fused CenterNet forward (inference). variables: the flax CenterNet
+    variable tree; bev: (B, X, Y, J) z-collapsed volume. Returns
+    (hm (B, X, Y, 1), size (B, X, Y, 2)) f32 — matches
+    CenterNet.apply(...) after its own max over z.
+
+    At B=1 serving shape the XLA module pays ~30 kernel launches on idle
+    hardware (~0.8 ms for ~1.5 GFLOP); this runs the whole net (heads
+    included) as one launch. `packed`: optional pre-packed weights
+    (pack_centernet) hoisted to model load."""
+    if packed is None:
+        packed = pack_centernet(variables)
+    projs = hourglass_projs(variables["params"])
+    return _centernet_call(bev.astype(_BF), tuple(packed["body"]),
+                           tuple(packed["head"]), projs,
+                           interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("projs", "interpret"))
@@ -525,25 +553,36 @@ def _pack_1d(variables):
     return out, tuple(projs)
 
 
+def pack_c2cnet(variables) -> dict:
+    """C2CNet serving weights as one array pytree (see pack_centernet)."""
+    weights, _ = _pack_1d(variables)
+    params = variables["params"]
+    wf = params["Conv_0"]["kernel"].astype(_BF)          # (1, c0, 1)
+    bf = params["Conv_0"]["bias"].reshape(1, 1).astype(jnp.float32)
+    return {"body": tuple(weights), "wf": wf, "bf": bf}
+
+
 def pallas_c2cnet(variables, cols: jax.Array,
-                  interpret: bool = False) -> jax.Array:
+                  interpret: bool = False,
+                  packed: dict | None = None) -> jax.Array:
     """Fused C2CNet forward (inference). variables: the flax C2CNet
     variable tree; cols: (N, Z, J) proposal z-columns. Returns (N, Z) f32
     height heatmaps — matches C2CNet.apply(..., train=False).
 
     Layout: ONE grid step; items ride the sublane dim (padded to 8), z is
     the leading dim, so every tap shift, pool and upsample interleave is a
-    free leading-dim move."""
+    free leading-dim move. `packed`: optional pre-packed weights
+    (pack_c2cnet) hoisted to model load."""
     N, Z, J = cols.shape
     Np = (N + 7) // 8 * 8
     x = jnp.pad(cols, ((0, Np - N), (0, 0), (0, 0)))
     x = x.transpose(1, 0, 2).astype(_BF)                 # (Z, Np, J)
 
-    weights, projs = _pack_1d(variables)
-    params = variables["params"]
-    wf = params["Conv_0"]["kernel"].astype(_BF)          # (1, c0, 1)
-    bf = params["Conv_0"]["bias"].reshape(1, 1).astype(jnp.float32)
-    out = _c2c_call(x, tuple(weights), wf, bf, projs, interpret=interpret)
+    if packed is None:
+        packed = pack_c2cnet(variables)
+    projs = hourglass_projs(variables["params"])
+    out = _c2c_call(x, tuple(packed["body"]), packed["wf"], packed["bf"],
+                    projs, interpret=interpret)
     return out[:, :N, 0].transpose(1, 0)                 # (N, Z)
 
 
@@ -563,14 +602,25 @@ def _c2c_call(x, weights, wf, bf, projs, interpret: bool = False):
     )(x, *weights, wf, bf)
 
 
-def pallas_p2pnet(variables, planes: jax.Array, num_joints: int,
-                  interpret: bool = False) -> jax.Array:
-    """Fused P2PNet forward (inference). variables: the flax P2PNet
-    variable tree ({'params', 'batch_stats'}); planes: (N, A, B, J).
-    Returns (N, A, B, J) f32 — matches P2PNet.apply(..., train=False)."""
-    weights, projs = pack_hourglass_params(variables)
+def pack_p2pnet(variables) -> dict:
+    """P2PNet serving weights as one array pytree (see pack_centernet)."""
+    weights, _ = pack_hourglass_params(variables)
     params = variables["params"]
     final_w = params["Conv_0"]["kernel"][0, 0].astype(_BF)   # (c0, J)
     final_b = params["Conv_0"]["bias"].reshape(1, -1).astype(jnp.float32)
-    return _p2p_call(planes, tuple(weights), final_w, final_b, projs,
-                     interpret=interpret)
+    return {"body": tuple(weights), "final_w": final_w, "final_b": final_b}
+
+
+def pallas_p2pnet(variables, planes: jax.Array, num_joints: int,
+                  interpret: bool = False,
+                  packed: dict | None = None) -> jax.Array:
+    """Fused P2PNet forward (inference). variables: the flax P2PNet
+    variable tree ({'params', 'batch_stats'}); planes: (N, A, B, J).
+    Returns (N, A, B, J) f32 — matches P2PNet.apply(..., train=False).
+    `packed`: optional pre-packed weights (pack_p2pnet) hoisted to model
+    load."""
+    if packed is None:
+        packed = pack_p2pnet(variables)
+    projs = hourglass_projs(variables["params"])
+    return _p2p_call(planes, tuple(packed["body"]), packed["final_w"],
+                     packed["final_b"], projs, interpret=interpret)

@@ -60,17 +60,15 @@ def _weightnet_kernel(xp_ref, w_ref, aff_ref, out_ref, *, A, B, J, C):
                                   ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_weightnet_pool(planes: jax.Array, conv_kernel: jax.Array,
-                          conv_bias: jax.Array, affine: jax.Array,
-                          interpret: bool = False) -> jax.Array:
-    """planes: (N, A, B, J); conv_kernel: (3, 3, 1, C); conv_bias: (C,);
-    affine: (2, C) folded BN (a, b). Returns (N, J, C) f32 — the
-    mean-pooled features mean(pool2(relu(a*conv(x)+a*bias+b))) per (n, j),
-    matching the reference op order (see module docstring)."""
-    N, A, B, J = planes.shape
+@functools.partial(jax.jit, static_argnames=("num_joints",))
+def pack_weightnet_pool(conv_kernel: jax.Array, conv_bias: jax.Array,
+                        affine: jax.Array, num_joints: int) -> dict:
+    """Block-diagonal grouped-conv matrix + folded affine as one array
+    pytree — computed once at model load (engine/packing.py) instead of
+    per jitted call. conv_kernel: (3, 3, 1, C); conv_bias: (C,); affine:
+    (2, C) folded BN (a, b)."""
+    J = num_joints
     C = conv_kernel.shape[-1]
-
     w = conv_kernel.reshape(9, C)                      # (tap, C)
     eye = jnp.eye(J, dtype=w.dtype)
     # (9, J, J, C): w9[t, j, j', c] = w[t, c] * [j == j']
@@ -80,6 +78,24 @@ def pallas_weightnet_pool(planes: jax.Array, conv_kernel: jax.Array,
     a, b = affine[0], affine[1]
     aff = jnp.stack([jnp.tile(a, J),
                      jnp.tile(a * conv_bias + b, J)]).astype(jnp.float32)
+    return {"wmat": wmat, "aff": aff}
+
+
+def pallas_weightnet_pool(planes: jax.Array, conv_kernel: jax.Array,
+                          conv_bias: jax.Array, affine: jax.Array,
+                          interpret: bool = False,
+                          packed: dict | None = None) -> jax.Array:
+    """planes: (N, A, B, J); conv_kernel: (3, 3, 1, C); conv_bias: (C,);
+    affine: (2, C) folded BN (a, b). Returns (N, J, C) f32 — the
+    mean-pooled features mean(pool2(relu(a*conv(x)+a*bias+b))) per (n, j),
+    matching the reference op order (see module docstring). `packed`:
+    optional pre-packed weights (pack_weightnet_pool)."""
+    N, A, B, J = planes.shape
+    C = conv_kernel.shape[-1]
+
+    if packed is None:
+        packed = pack_weightnet_pool(conv_kernel, conv_bias, affine, J)
+    wmat, aff = packed["wmat"], packed["aff"]
 
     xp = jnp.pad(planes, ((0, 0), (1, 1), (1, 1), (0, 0))
                  ).astype(jnp.bfloat16)

@@ -144,6 +144,15 @@ def inference_process(svc: ServiceConfig, frame_q: FrameQueue,
         from run.train import load_backbone
         backbone, backbone_vars = load_backbone(cfg)
 
+    # hoist the Pallas serving kernels' weight packing to load time
+    # (engine/packing.py — loop-invariant for a param-frozen service)
+    from fvp_tpu.engine.packing import (
+        pack_backbone_variables, pack_model_variables,
+    )
+    variables = pack_model_variables(cfg, variables)
+    if backbone is not None and cfg.backbone_head == "pallas":
+        backbone_vars = pack_backbone_variables(backbone_vars)
+
     # multi-device serving: shard the single-frame step over the camera
     # axis — each device owns a subset of views' backbone + sampling, the
     # volume's view-mean becomes an ICI collective (fvp_tpu/parallel).

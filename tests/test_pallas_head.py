@@ -126,3 +126,22 @@ def test_weightnet_pallas_matches_xla(rng):
     yx = wn_x.apply(vx, x, train=False)
     yp = wn_p.apply(vx, x, train=False)
     np.testing.assert_allclose(np.asarray(yp), np.asarray(yx), atol=2e-3)
+
+
+def test_pose_resnet_packed_head_matches_in_call_packing(rng):
+    """Weight-packing hoist for head='pallas' (engine/packing.py
+    pack_backbone_variables): the 'packed' collection path is bitwise
+    equal to in-call pack_k4 packing."""
+    from fvp_tpu.engine.packing import pack_backbone_variables
+
+    x = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+    bb = PoseResNet(num_joints=15, num_layers=18, dtype=jnp.bfloat16,
+                    head="pallas")
+    variables = bb.init(jax.random.PRNGKey(0), x, train=False)
+    y_plain = bb.apply(variables, x, train=False)
+
+    packed_vars = pack_backbone_variables(variables)
+    assert "head_fused" in packed_vars["packed"]
+    y_packed = bb.apply(packed_vars, x, train=False)
+    np.testing.assert_array_equal(np.asarray(y_packed),
+                                  np.asarray(y_plain))

@@ -363,3 +363,35 @@ def test_validation_loop_and_evaluator(rng):
     vis = [np.asarray(v) for v in vis]
     metrics = evaluate_ap_mpjpe(res["fused_poses"], gts, vis)
     assert 0.0 <= metrics["mean_ap"] <= 1.0
+
+
+def test_packed_collection_matches_in_call_packing(rng):
+    """Weight-packing hoist (engine/packing.py): a forward through the
+    forced-pallas path with the 'packed' variable collection attached is
+    BITWISE equal to the same forward packing in-call — the packed tensors
+    are the identical XLA computation, just moved to load time. Also
+    covers fuse_p2p (the C2C/P2P kernels whose round-3 A/B losses motivated
+    the hoist)."""
+    from fvp_tpu.engine.packing import pack_model_variables
+
+    cfg = e2e_cfg(num_views=2, max_people=3, synthetic_max_people=2,
+                  synthetic_num_data=4).replace(
+                      sampling_backend="pallas", fuse_p2p=True)
+    ds, rig = _dataset(rng, cfg)
+    rc = build_rig_constants(cfg, rig)
+    batch = collate([ds.sample(i, rng=np.random.RandomState(i))
+                     for i in range(2)])
+    hm = jnp.asarray(batch["input_heatmaps"])
+
+    model = FasterVoxelPose(cfg=cfg)
+    variables = model.init(jax.random.PRNGKey(0), hm, rc, train=False)
+    out_plain = model.apply(variables, hm, rc, train=False)
+
+    packed_vars = pack_model_variables(cfg, variables)
+    assert set(packed_vars["packed"]) == {
+        "center_net", "c2c_net", "p2p_net", "weight_net"}
+    out_packed = model.apply(packed_vars, hm, rc, train=False)
+
+    for k in ("proposals", "fused_poses", "mask"):
+        np.testing.assert_array_equal(np.asarray(out_packed[k]),
+                                      np.asarray(out_plain[k]), err_msg=k)
