@@ -50,6 +50,32 @@ def pad_heatmaps(heatmaps: jax.Array) -> jax.Array:
     return jnp.pad(heatmaps, pad)
 
 
+OCC_BY = 8       # occupancy block: 8 heatmap rows ...
+OCC_BX = 32      # ... x 32 columns, one bit per block
+
+
+def occupancy_rows(padded_hm: jax.Array) -> jax.Array:
+    """(NB, V, J, Hp, Wp) padded heatmaps -> (NB, V, ceil(Hp/8)) int32
+    bitmasks: bit k of row r = 1 iff any channel of the 8x32 block
+    (rows 8r.., cols 32k..) is nonzero.
+
+    Input heatmaps are sparse (Gaussian blobs on a zero field), so most
+    of a sampled voxel tile's support patches are exactly zero in most
+    views; the sampler kernels test this per (tile, view) with three SMEM
+    scalar reads and skip the matmul — an EXACT skip (a zero patch
+    contributes zero to the view mean)."""
+    NB, V, J, Hp, Wp = padded_hm.shape
+    yp = (-Hp) % OCC_BY
+    xp = (-Wp) % OCC_BX
+    m = jnp.pad(jnp.max(jnp.abs(padded_hm), axis=2), (
+        (0, 0), (0, 0), (0, yp), (0, xp)))
+    NYB, NXB = (Hp + yp) // OCC_BY, (Wp + xp) // OCC_BX
+    assert NXB <= 31, (Wp, NXB)   # one int32 bitmask per 8-row stripe
+    blocks = m.reshape(NB, V, NYB, OCC_BY, NXB, OCC_BX).max(axis=(3, 5))
+    bits = (blocks > 0).astype(jnp.int32) << jnp.arange(NXB, dtype=jnp.int32)
+    return jnp.sum(bits, axis=-1).astype(jnp.int32)     # (NB, V, NYB)
+
+
 def _clamp_coords(x, lo: float, hi: float):
     """Pin far-out-of-image coords near the border. Output-equivalent to the
     reference's +-1.1 normalized clamp: any coordinate <= -1 or >= size

@@ -47,7 +47,34 @@ from jax.experimental.pallas import tpu as pltpu
 from fvp_tpu.ops.fast_sampling import PAD
 
 
-def _one_tile_from(coords, hm_ref, num_views, PH, Hp, Wp, NW, J, S):
+def _support_occupied(occ_ref, frame, v, sx, sy, NYB):
+    """Exact per-(tile, view) skip test: 1 iff any 8x32 occupancy block
+    (fast_sampling.occupancy_rows) overlapping the tile's bilinear support
+    rectangle is nonzero. Conservative on every edge case (range overflow,
+    off-table coords => occupied), so a 0 means the patch is ALL ZERO and
+    the view's matmul can be skipped without changing the output."""
+    ry0 = jnp.floor(jnp.min(sy)).astype(jnp.int32)
+    ry1 = jnp.floor(jnp.max(sy)).astype(jnp.int32) + 1
+    rx0 = jnp.floor(jnp.min(sx)).astype(jnp.int32)
+    rx1 = jnp.floor(jnp.max(sx)).astype(jnp.int32) + 1
+    by0, by1 = ry0 // 8, ry1 // 8
+    bx0, bx1 = rx0 // 32, rx1 // 32
+    width = bx1 - bx0 + 1
+
+    over = ((by1 - by0 > 2) | (width > 30) | (ry0 < 0) | (rx0 < 0))
+    wclamp = jnp.clip(width, 1, 30)
+    mask = ((jnp.int32(1) << wclamp) - 1) << jnp.clip(bx0, 0, 30)
+
+    hit = jnp.int32(0)
+    for dy in range(3):
+        yb = by0 + dy
+        row = occ_ref[frame, v, jnp.clip(yb, 0, NYB - 1)]
+        hit = hit | jnp.where(yb <= by1, row & mask, 0)
+    return (hit != 0) | over
+
+
+def _one_tile_from(coords, hm_ref, num_views, PH, Hp, Wp, NW, J, S,
+                   occs=None):
     """coords: per-view list of ((1, S) sx, (1, S) sy) PADDED-frame pixel
     coordinate values (PAD already added).
 
@@ -106,14 +133,22 @@ def _one_tile_from(coords, hm_ref, num_views, PH, Hp, Wp, NW, J, S):
 
     acc = jnp.zeros((J, S), jnp.float32)
     for v in range(num_views):
-        acc = one_view(v, acc)
+        if occs is None:
+            acc = one_view(v, acc)
+        else:
+            # exact skip: a view whose support patch is all zero
+            # contributes zero to the mean (see _support_occupied)
+            acc = jax.lax.cond(occs[v], functools.partial(one_view, v),
+                               lambda a: a, acc)
     return jnp.clip(acc / num_views, 0.0, 1.0)
 
 
-def _sampler_kernel(valid_ref, sx_ref, sy_ref, hm_ref, out_ref, *,
-                    num_views, PH, NW, Wp):
+def _sampler_kernel(valid_ref, occ_ref, sx_ref, sy_ref, hm_ref, out_ref, *,
+                    num_views, PH, NW, Wp, K):
     """Grid step = NT voxel tiles (batched to amortize per-step overhead).
-    valid_ref: scalar-prefetched (P, T) int32 tile mask;
+    valid_ref: scalar-prefetched (P, T) int32 tile mask; occ_ref:
+    scalar-prefetched (NB, V, NYB) int32 occupancy bitmasks
+    (fast_sampling.occupancy_rows; None-shaped (NB, V, 0) disables);
     sx_ref/sy_ref blocks (1, NT, V, S); hm_ref block (1, V, J, Hp, NW*128
     windowed lanes — see _window_heatmaps; Wp = pre-windowing padded
     width) [the owning frame's heatmaps, VMEM-resident];
@@ -122,6 +157,7 @@ def _sampler_kernel(valid_ref, sx_ref, sy_ref, hm_ref, out_ref, *,
     Hp = hm_ref.shape[3]
     NT = sx_ref.shape[1]
     S = sx_ref.shape[3]
+    NYB = occ_ref.shape[2]
     p = pl.program_id(0)
     tg = pl.program_id(1)
 
@@ -130,11 +166,15 @@ def _sampler_kernel(valid_ref, sx_ref, sy_ref, hm_ref, out_ref, *,
         coords = [(sx_ref[0, nt, v:v + 1, :] + PAD,
                    sy_ref[0, nt, v:v + 1, :] + PAD)
                   for v in range(num_views)]
+        occs = None
+        if NYB > 0:
+            occs = [_support_occupied(occ_ref, p // K, v, sx, sy, NYB)
+                    for v, (sx, sy) in enumerate(coords)]
 
         @pl.when(valid)
         def _():
             out_ref[0, nt] = _one_tile_from(coords, hm_ref, num_views, PH,
-                                            Hp, Wp, NW, J, S
+                                            Hp, Wp, NW, J, S, occs=occs
                                             ).astype(out_ref.dtype)
 
         @pl.when(jnp.logical_not(valid))
@@ -217,8 +257,9 @@ def _step_coords(corner_ref, cam_ref, p, tg, *, NT, S, num_views, geom):
     return out
 
 
-def _sampler_project_kernel(valid_ref, corner_ref, cam_ref, hm_ref, out_ref,
-                            *, num_views, PH, NW, Wp, geom):
+def _sampler_project_kernel(valid_ref, corner_ref, cam_ref, occ_ref,
+                            hm_ref, out_ref,
+                            *, num_views, PH, NW, Wp, geom, K):
     """Like _sampler_kernel, but computes the sample coordinates in-kernel
     from the scalar-prefetched cube corners + camera parameters instead of
     streaming precomputed (P, T, V, S) coordinate tensors from HBM."""
@@ -226,6 +267,7 @@ def _sampler_project_kernel(valid_ref, corner_ref, cam_ref, hm_ref, out_ref,
     Hp = hm_ref.shape[3]
     NT = out_ref.shape[1]
     S = out_ref.shape[3]
+    NYB = occ_ref.shape[2]
     p = pl.program_id(0)
     tg = pl.program_id(1)
 
@@ -236,11 +278,15 @@ def _sampler_project_kernel(valid_ref, corner_ref, cam_ref, hm_ref, out_ref,
         valid = valid_ref[p, tg * NT + nt] > 0
         coords = [(sx[nt:nt + 1, :] + PAD, sy[nt:nt + 1, :] + PAD)
                   for sx, sy in step]
+        occs = None
+        if NYB > 0:
+            occs = [_support_occupied(occ_ref, p // K, v, sx, sy, NYB)
+                    for v, (sx, sy) in enumerate(coords)]
 
         @pl.when(valid)
         def _():
             out_ref[0, nt] = _one_tile_from(coords, hm_ref, num_views, PH,
-                                            Hp, Wp, NW, J, S
+                                            Hp, Wp, NW, J, S, occs=occs
                                             ).astype(out_ref.dtype)
 
         @pl.when(jnp.logical_not(valid))
@@ -271,14 +317,15 @@ def _window_heatmaps(padded_hm: jax.Array):
 @functools.partial(
     jax.jit,
     static_argnames=("PH", "tiles_per_step", "people_per_item", "interpret",
-                     "hm_dtype", "out_dtype", "x_window"))
+                     "hm_dtype", "out_dtype", "x_window", "occupancy"))
 def pallas_tiled_sample(padded_hm: jax.Array, sx: jax.Array, sy: jax.Array,
                         tile_valid: jax.Array, PH: int = 32,
                         tiles_per_step: int = 8, people_per_item: int = 1,
                         interpret: bool = False,
                         hm_dtype=jnp.bfloat16,
                         out_dtype=jnp.float32,
-                        x_window: bool = False) -> jax.Array:
+                        x_window: bool = False,
+                        occupancy: bool = True) -> jax.Array:
     """padded_hm: (NB, V, J, H+2*PAD, W+2*PAD) (zero border; stored bf16 in
     VMEM), one entry per frame; sx, sy: (P, T, V, S) heatmap-frame pixel
     coords of tiled samples, where row p samples frame
@@ -307,12 +354,17 @@ def pallas_tiled_sample(padded_hm: jax.Array, sx: jax.Array, sy: jax.Array,
     K = people_per_item
     hm_win, NW, _ = (_window_heatmaps(padded_hm) if x_window
                      else (padded_hm, 1, Wp))
+    if occupancy:
+        from fvp_tpu.ops.fast_sampling import occupancy_rows
+        occ = occupancy_rows(padded_hm)
+    else:
+        occ = jnp.zeros((NB, V, 0), jnp.int32)
 
     kernel = functools.partial(_sampler_kernel, num_views=V, PH=PH,
-                               NW=NW, Wp=Wp)
+                               NW=NW, Wp=Wp, K=K)
     grid = (P, T // NT)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, NT, V, S), lambda p, t, *_: (p, t, 0, 0),
@@ -331,14 +383,14 @@ def pallas_tiled_sample(padded_hm: jax.Array, sx: jax.Array, sy: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((P, T, J, S), out_dtype),
         interpret=interpret,
-    )(tile_valid.astype(jnp.int32), sx, sy, hm_win.astype(hm_dtype))
+    )(tile_valid.astype(jnp.int32), occ, sx, sy, hm_win.astype(hm_dtype))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_tiles", "samples_per_tile", "geom", "PH",
                      "tiles_per_step", "people_per_item", "interpret",
-                     "hm_dtype", "out_dtype"))
+                     "hm_dtype", "out_dtype", "occupancy"))
 def pallas_tiled_sample_project(padded_hm: jax.Array, corner: jax.Array,
                                 cam: jax.Array, tile_valid: jax.Array,
                                 num_tiles: int, samples_per_tile: int,
@@ -347,7 +399,8 @@ def pallas_tiled_sample_project(padded_hm: jax.Array, corner: jax.Array,
                                 people_per_item: int = 1,
                                 interpret: bool = False,
                                 hm_dtype=jnp.bfloat16,
-                                out_dtype=jnp.float32) -> jax.Array:
+                                out_dtype=jnp.float32,
+                                occupancy: bool = True) -> jax.Array:
     """Per-person sampler with IN-KERNEL projection: same output contract
     as pallas_tiled_sample, but instead of (P, T, V, S) precomputed pixel
     coordinates it takes per-person fine-grid cube corners (P, 3) int32 and
@@ -369,11 +422,16 @@ def pallas_tiled_sample_project(padded_hm: jax.Array, corner: jax.Array,
         NT //= 2
     K = people_per_item
     hm_win, NW, _ = _window_heatmaps(padded_hm)
+    if occupancy:
+        from fvp_tpu.ops.fast_sampling import occupancy_rows
+        occ = occupancy_rows(padded_hm)
+    else:
+        occ = jnp.zeros((NB, V, 0), jnp.int32)
 
     kernel = functools.partial(_sampler_project_kernel, num_views=V, PH=PH,
-                               NW=NW, Wp=Wp, geom=geom)
+                               NW=NW, Wp=Wp, geom=geom, K=K)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(P, T // NT),
         in_specs=[
             pl.BlockSpec((1, V, J, Hp, hm_win.shape[-1]),
@@ -389,4 +447,4 @@ def pallas_tiled_sample_project(padded_hm: jax.Array, corner: jax.Array,
         out_shape=jax.ShapeDtypeStruct((P, T, J, S), out_dtype),
         interpret=interpret,
     )(tile_valid.astype(jnp.int32), corner.astype(jnp.int32),
-      cam.astype(jnp.float32), hm_win.astype(hm_dtype))
+      cam.astype(jnp.float32), occ, hm_win.astype(hm_dtype))
