@@ -42,13 +42,21 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -3.0e38
 
 
-def s2d_host(images: np.ndarray) -> np.ndarray:
-    """(..., H, W, 3) -> (..., H/2, W/2, 12) numpy space-to-depth(2):
-    what the data pipeline ships when the stem runs the Pallas path."""
+def s2d_host(images: np.ndarray, channels: int = 12) -> np.ndarray:
+    """(..., H, W, 3) -> (..., H/2, W/2, channels) numpy space-to-depth(2):
+    what the data pipeline ships when the stem runs the Pallas path.
+    channels=16 appends 4 zero channels so every im2col tap piece is
+    16-lane — a power-of-two lane shift for Mosaic instead of the 12-lane
+    sub-tile shifts that made the 12-channel kernel lose its round-3 A/B
+    (NOTES_ROUND3.md lever 3)."""
     *lead, H, W, C = images.shape
     x = images.reshape(*lead, H // 2, 2, W // 2, 2, C)
     x = np.moveaxis(x, -4, -3)                # (..., H/2, W/2, dy, dx, C)
-    return np.ascontiguousarray(x.reshape(*lead, H // 2, W // 2, 4 * C))
+    x = np.ascontiguousarray(x.reshape(*lead, H // 2, W // 2, 4 * C))
+    if channels > 4 * C:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, channels - 4 * C)]
+        x = np.pad(x, pad)
+    return x
 
 
 def s2d_device(images: jax.Array) -> jax.Array:
@@ -60,13 +68,18 @@ def s2d_device(images: jax.Array) -> jax.Array:
     return x.reshape(*lead, H // 2, W // 2, 4 * C)
 
 
-def pack_stem_kernel(kernel: jax.Array) -> jax.Array:
-    """Canonical (7, 7, 3, F) conv1 kernel -> (4*4*12, F) s2d matmul
-    weights (pad to 8x8 at the front, s2d both axes; zero taps only)."""
+def pack_stem_kernel(kernel: jax.Array, channels: int = 12) -> jax.Array:
+    """Canonical (7, 7, 3, F) conv1 kernel -> (4*4*channels, F) s2d matmul
+    weights (pad to 8x8 at the front, s2d both axes; zero taps only).
+    channels=16 interleaves 4 zero rows per tap piece to match the
+    16-lane-padded host format."""
     F = kernel.shape[-1]
     kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
     k2 = kp.reshape(4, 2, 4, 2, 3, F).transpose(0, 2, 1, 3, 4, 5)
-    return k2.reshape(16 * 12, F)
+    k2 = k2.reshape(16, 12, F)
+    if channels > 12:
+        k2 = jnp.pad(k2, ((0, 0), (0, channels - 12), (0, 0)))
+    return k2.reshape(16 * channels, F)
 
 
 def _stem_kernel(x_ref, w_ref, aff_ref, out_ref, *, Rp, Wc, F, NB):
@@ -77,11 +90,12 @@ def _stem_kernel(x_ref, w_ref, aff_ref, out_ref, *, Rp, Wc, F, NB):
     RX = 2 * Rp + 6
     # conv row l of this block taps x rows (2*Rp*b + l + u) in the padded
     # frame (leading dim: any dynamic start is legal)
-    xv = x_ref[0, pl.ds(b * 2 * Rp, RX)]                # (RX, Wc+3, 12)
+    C = x_ref.shape[-1]
+    xv = x_ref[0, pl.ds(b * 2 * Rp, RX)]                # (RX, Wc+3, C)
 
-    taps = [xv[u:u + RC, v:v + Wc, :].reshape(RC * Wc, 12)
+    taps = [xv[u:u + RC, v:v + Wc, :].reshape(RC * Wc, C)
             for u in range(4) for v in range(4)]
-    x16 = jnp.concatenate(taps, axis=1)                 # (RC*Wc, 192)
+    x16 = jnp.concatenate(taps, axis=1)                 # (RC*Wc, 16*C)
     h = jax.lax.dot_general(
         x16, w_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)             # (RC*Wc, F)
@@ -115,7 +129,7 @@ def pallas_stem(x_s2d: jax.Array, kernel: jax.Array, affine: jax.Array,
     bn1. Returns (B, H2/2, W2/2, F) bf16 == maxpool(relu(bn(conv1(x))))."""
     B, H2, Wc, C = x_s2d.shape
     F = kernel.shape[-1]
-    assert C == 12 and H2 % (2 * NB) == 0 and Wc % 2 == 0
+    assert C in (12, 16) and H2 % (2 * NB) == 0 and Wc % 2 == 0
     Rp = H2 // 2 // NB
 
     # conv taps (padding (2,1) on both axes of the s2d frame): row g taps
@@ -124,7 +138,7 @@ def pallas_stem(x_s2d: jax.Array, kernel: jax.Array, affine: jax.Array,
     # x-slice start is simply 2*Rp*b and local indices are l+u / j+v.
     xp = jnp.pad(x_s2d, ((0, 0), (3, 3), (2, 1), (0, 0))
                  ).astype(jnp.bfloat16)
-    w = pack_stem_kernel(kernel).astype(jnp.bfloat16)
+    w = pack_stem_kernel(kernel, channels=C).astype(jnp.bfloat16)
 
     kern = functools.partial(_stem_kernel, Rp=Rp, Wc=Wc, F=F, NB=NB)
     return pl.pallas_call(

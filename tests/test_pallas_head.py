@@ -145,3 +145,24 @@ def test_pose_resnet_packed_head_matches_in_call_packing(rng):
     y_packed = bb.apply(packed_vars, x, train=False)
     np.testing.assert_array_equal(np.asarray(y_packed),
                                   np.asarray(y_plain))
+
+
+def test_pallas_stem_16lane_format_matches(rng):
+    """channels=16 host-s2d format (4 zero channels appended so im2col tap
+    pieces are 16-lane): same output as the 12-channel format and the XLA
+    stem (NOTES_ROUND3 lever 3)."""
+    from fvp_tpu.ops.pallas.stem import s2d_host
+
+    img = rng.rand(1, 64, 96, 3).astype(np.float32)
+    key = jax.random.PRNGKey(7)
+    bb_x = PoseResNet(num_joints=15, num_layers=18, dtype=jnp.bfloat16,
+                      stem="xla")
+    bb_s = PoseResNet(num_joints=15, num_layers=18, dtype=jnp.bfloat16,
+                      stem="host_s2d")
+    x = jnp.asarray(img)
+    vars_x = bb_x.init(key, x, train=False)
+
+    y12 = bb_s.apply(vars_x, jnp.asarray(s2d_host(img)), train=False)
+    y16 = bb_s.apply(vars_x, jnp.asarray(s2d_host(img, channels=16)),
+                     train=False)
+    np.testing.assert_array_equal(np.asarray(y16), np.asarray(y12))
