@@ -95,14 +95,16 @@ def main() -> None:
     # (params stay f32; heads accumulate f32; sampling already runs the
     # MXU's bf16 path for f32 inputs)
     # serving lowerings: the Pallas deconv head is the measured-fastest
-    # variant on TPU (7.48 vs 9.51 ms same-run backbone); the stem stays
-    # XLA (the host-s2d Pallas stem measured 3.0 vs 2.4 ms — sub-tile
-    # 12-lane im2col shifts). A/B without editing:
-    # FVP_BACKBONE_HEAD=xla FVP_BACKBONE_STEM=host_s2d python bench.py
+    # variant on TPU (7.48 vs 9.51 ms same-run backbone), and so is the
+    # 16-lane host-s2d Pallas stem (2.97 vs 4.02 ms XLA same-run,
+    # microbench_r4 2026-08-20; the round-3 12-lane format lost on
+    # sub-tile im2col shifts). A/B without editing:
+    # FVP_BACKBONE_HEAD=xla FVP_BACKBONE_STEM=xla python bench.py
     on_tpu = not os.environ.get("FVP_PLATFORM")
     cfg = FVPConfig(
         compute_dtype="bfloat16",
-        backbone_stem=os.environ.get("FVP_BACKBONE_STEM", "xla"),
+        backbone_stem=os.environ.get(
+            "FVP_BACKBONE_STEM", "host_s2d" if on_tpu else "xla"),
         backbone_head=os.environ.get(
             "FVP_BACKBONE_HEAD", "pallas" if on_tpu else "xla"),
     )

@@ -137,14 +137,19 @@ def _one_tile_from(coords, hm_ref, num_views, PH, Hp, Wp, NW, J, S,
             acc = one_view(v, acc)
         else:
             # exact skip: a view whose support patch is all zero
-            # contributes zero to the mean (see _support_occupied)
+            # contributes zero to the mean (see _support_occupied).
+            # MEASURED LOSS on v5e (microbench_r4, 2026-08-20): carrying
+            # the (J, S) accumulator through scf.if breaks Mosaic's matmul
+            # pipelining — person sampler 8.4 -> 13.3 ms on sparse scene
+            # inputs, 8.4 -> 20.9 ms dense. Default OFF; kept for
+            # hardware/compilers with cheap divergence.
             acc = jax.lax.cond(occs[v], functools.partial(one_view, v),
                                lambda a: a, acc)
     return jnp.clip(acc / num_views, 0.0, 1.0)
 
 
 def _sampler_kernel(valid_ref, occ_ref, sx_ref, sy_ref, hm_ref, out_ref, *,
-                    num_views, PH, NW, Wp, K):
+                    num_views, PH, NW, Wp, K, use_occ):
     """Grid step = NT voxel tiles (batched to amortize per-step overhead).
     valid_ref: scalar-prefetched (P, T) int32 tile mask; occ_ref:
     scalar-prefetched (NB, V, NYB) int32 occupancy bitmasks
@@ -167,7 +172,7 @@ def _sampler_kernel(valid_ref, occ_ref, sx_ref, sy_ref, hm_ref, out_ref, *,
                    sy_ref[0, nt, v:v + 1, :] + PAD)
                   for v in range(num_views)]
         occs = None
-        if NYB > 0:
+        if use_occ:
             occs = [_support_occupied(occ_ref, p // K, v, sx, sy, NYB)
                     for v, (sx, sy) in enumerate(coords)]
 
@@ -259,7 +264,7 @@ def _step_coords(corner_ref, cam_ref, p, tg, *, NT, S, num_views, geom):
 
 def _sampler_project_kernel(valid_ref, corner_ref, cam_ref, occ_ref,
                             hm_ref, out_ref,
-                            *, num_views, PH, NW, Wp, geom, K):
+                            *, num_views, PH, NW, Wp, geom, K, use_occ):
     """Like _sampler_kernel, but computes the sample coordinates in-kernel
     from the scalar-prefetched cube corners + camera parameters instead of
     streaming precomputed (P, T, V, S) coordinate tensors from HBM."""
@@ -279,7 +284,7 @@ def _sampler_project_kernel(valid_ref, corner_ref, cam_ref, occ_ref,
         coords = [(sx[nt:nt + 1, :] + PAD, sy[nt:nt + 1, :] + PAD)
                   for sx, sy in step]
         occs = None
-        if NYB > 0:
+        if use_occ:
             occs = [_support_occupied(occ_ref, p // K, v, sx, sy, NYB)
                     for v, (sx, sy) in enumerate(coords)]
 
@@ -325,7 +330,7 @@ def pallas_tiled_sample(padded_hm: jax.Array, sx: jax.Array, sy: jax.Array,
                         hm_dtype=jnp.bfloat16,
                         out_dtype=jnp.float32,
                         x_window: bool = False,
-                        occupancy: bool = True) -> jax.Array:
+                        occupancy: bool = False) -> jax.Array:
     """padded_hm: (NB, V, J, H+2*PAD, W+2*PAD) (zero border; stored bf16 in
     VMEM), one entry per frame; sx, sy: (P, T, V, S) heatmap-frame pixel
     coords of tiled samples, where row p samples frame
@@ -358,10 +363,10 @@ def pallas_tiled_sample(padded_hm: jax.Array, sx: jax.Array, sy: jax.Array,
         from fvp_tpu.ops.fast_sampling import occupancy_rows
         occ = occupancy_rows(padded_hm)
     else:
-        occ = jnp.zeros((NB, V, 0), jnp.int32)
+        occ = jnp.zeros((NB, V, 1), jnp.int32)   # unused dummy (static off)
 
     kernel = functools.partial(_sampler_kernel, num_views=V, PH=PH,
-                               NW=NW, Wp=Wp, K=K)
+                               NW=NW, Wp=Wp, K=K, use_occ=occupancy)
     grid = (P, T // NT)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -400,7 +405,7 @@ def pallas_tiled_sample_project(padded_hm: jax.Array, corner: jax.Array,
                                 interpret: bool = False,
                                 hm_dtype=jnp.bfloat16,
                                 out_dtype=jnp.float32,
-                                occupancy: bool = True) -> jax.Array:
+                                occupancy: bool = False) -> jax.Array:
     """Per-person sampler with IN-KERNEL projection: same output contract
     as pallas_tiled_sample, but instead of (P, T, V, S) precomputed pixel
     coordinates it takes per-person fine-grid cube corners (P, 3) int32 and
@@ -426,10 +431,11 @@ def pallas_tiled_sample_project(padded_hm: jax.Array, corner: jax.Array,
         from fvp_tpu.ops.fast_sampling import occupancy_rows
         occ = occupancy_rows(padded_hm)
     else:
-        occ = jnp.zeros((NB, V, 0), jnp.int32)
+        occ = jnp.zeros((NB, V, 1), jnp.int32)   # unused dummy (static off)
 
     kernel = functools.partial(_sampler_project_kernel, num_views=V, PH=PH,
-                               NW=NW, Wp=Wp, geom=geom, K=K)
+                               NW=NW, Wp=Wp, geom=geom, K=K,
+                               use_occ=occupancy)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(P, T // NT),

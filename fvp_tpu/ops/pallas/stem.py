@@ -42,13 +42,15 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -3.0e38
 
 
-def s2d_host(images: np.ndarray, channels: int = 12) -> np.ndarray:
+def s2d_host(images: np.ndarray, channels: int = 16) -> np.ndarray:
     """(..., H, W, 3) -> (..., H/2, W/2, channels) numpy space-to-depth(2):
     what the data pipeline ships when the stem runs the Pallas path.
-    channels=16 appends 4 zero channels so every im2col tap piece is
-    16-lane — a power-of-two lane shift for Mosaic instead of the 12-lane
-    sub-tile shifts that made the 12-channel kernel lose its round-3 A/B
-    (NOTES_ROUND3.md lever 3)."""
+    channels=16 (default) appends 4 zero channels so every im2col tap
+    piece is 16-lane — a power-of-two lane shift for Mosaic instead of
+    the 12-lane sub-tile shifts that made the 12-channel kernel lose its
+    round-3 A/B. Same-run v5e A/B (microbench_r4, 2026-08-20): XLA stem
+    4.02 ms | pallas 12ch 3.37 | pallas 16ch 2.97 — the 16-lane format
+    flips the stem to a win and makes host_s2d the serving default."""
     *lead, H, W, C = images.shape
     x = images.reshape(*lead, H // 2, 2, W // 2, 2, C)
     x = np.moveaxis(x, -4, -3)                # (..., H/2, W/2, dy, dx, C)
