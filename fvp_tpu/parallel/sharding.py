@@ -88,3 +88,21 @@ def make_sharded_eval_step(cfg: FVPConfig, model: FasterVoxelPose,
         return fn(variables, batch_input, rc)
 
     return compiled
+
+
+def make_global(tree: Any, mesh: Mesh, spec_tree: Any) -> Any:
+    """Host-local full-value arrays -> global jax.Arrays on `mesh`.
+
+    Multi-process ingestion: each process holds the full logical value
+    (identical across processes — deterministic init or shared seed) and
+    contributes only the shards its local devices own
+    (jax.make_array_from_callback). Works unchanged in single-process
+    mode, where it is equivalent to a sharded device_put."""
+    import numpy as np
+
+    def put(x, spec):
+        s = NamedSharding(mesh, spec)
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(put, tree, spec_tree)

@@ -55,6 +55,16 @@ class ServiceConfig:
     restream_url: str = ""               # rtsp:// target for view_mode=rtsp
     on_result: Optional[Callable] = None  # called in the viz process
     cfg_obj: Optional[object] = None     # FVPConfig override (tests/embedding)
+    # --- multi-host serving (SURVEY §2.3 "shard cameras across hosts"):
+    # run one service per host with the same coordinator; the inference
+    # processes form a jax.distributed job and shard the view axis over
+    # the GLOBAL device set (collectives ride ICI within a slice, DCN
+    # across hosts). Rehearse on one machine:
+    #   FVP_PLATFORM=cpu FVP_CPU_DEVICES=2 python run/service.py \
+    #     --coordinator 127.0.0.1:8477 --num_hosts 2 --host_id {0,1} ...
+    coordinator: str = ""                # host0 ip:port; empty = single host
+    num_hosts: int = 1
+    host_id: int = 0
 
 
 def _load_cfg(svc: ServiceConfig):
@@ -115,6 +125,15 @@ def inference_process(svc: ServiceConfig, frame_q: FrameQueue,
         jax.config.update("jax_num_cpu_devices",
                           int(os.environ["FVP_CPU_DEVICES"]))
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    distributed = bool(svc.coordinator)
+    if distributed:
+        # multi-host serving: the per-host inference processes form one
+        # jax.distributed job; meshes below span the GLOBAL device set
+        jax.distributed.initialize(coordinator_address=svc.coordinator,
+                                   num_processes=svc.num_hosts,
+                                   process_id=svc.host_id)
+        print(f"service: host {svc.host_id}/{svc.num_hosts} joined "
+              f"({jax.device_count()} global devices)", flush=True)
 
     from fvp_tpu.geometry.grids import build_rig_constants
     from fvp_tpu.models.faster_voxelpose import FasterVoxelPose
@@ -167,11 +186,35 @@ def inference_process(svc: ServiceConfig, frame_q: FrameQueue,
               f"(view axis)", flush=True)
 
     if mesh is not None:
-        from fvp_tpu.parallel.sharding import make_sharded_eval_step
+        from fvp_tpu.parallel.sharding import (
+            make_global, make_sharded_eval_step,
+        )
+
+        if distributed:
+            # weights/rig constants become replicated GLOBAL arrays (every
+            # host holds the same values: same seed / same checkpoint);
+            # each frame's input batch is globalized per call below, with
+            # every host contributing the view shards its devices own
+            from jax.sharding import PartitionSpec as P
+
+            def repl(tree):
+                return make_global(
+                    tree, mesh,
+                    jax.tree_util.tree_map(lambda _: P(), tree))
+
+            variables, rc = repl(variables), repl(rc)
+            if backbone_vars is not None:
+                backbone_vars = repl(backbone_vars)
 
         step = make_sharded_eval_step(cfg, model, mesh, backbone=backbone,
                                       backbone_vars=backbone_vars)
-        fwd = lambda x: step(variables, x, rc)             # noqa: E731
+        if distributed:
+            from jax.sharding import PartitionSpec as P
+
+            fwd = lambda x: step(                          # noqa: E731
+                variables, make_global(x, mesh, P("data", "view")), rc)
+        else:
+            fwd = lambda x: step(variables, x, rc)         # noqa: E731
     elif backbone is not None:
         # production path: frames -> frozen backbone -> 3D pipeline, one
         # executable (reference service.py:458-465 runs model(views=...))
@@ -210,7 +253,13 @@ def inference_process(svc: ServiceConfig, frame_q: FrameQueue,
             continue
         t0 = time.perf_counter()
         x = prepare(views)
-        poses = np.asarray(fwd(jnp.asarray(x)))
+        out = fwd(jnp.asarray(x))
+        if getattr(out, "is_fully_addressable", True):
+            poses = np.asarray(out)
+        else:
+            # multi-host: the output is data-sharded/view-replicated, so
+            # every host's first local shard holds the full frame result
+            poses = np.asarray(out.addressable_data(0))
         dt = time.perf_counter() - t0
         fps_win = (fps_win + [dt])[-30:]
         result = {

@@ -44,6 +44,13 @@ def main():
     parser.add_argument("--output_dir", default="/tmp/fvp_service")
     parser.add_argument("--restream_url", default="",
                         help="rtsp:// publish target for --view_mode rtsp")
+    parser.add_argument("--coordinator", default="",
+                        help="multi-host serving: host0 ip:port — run one "
+                             "service per host with the same coordinator; "
+                             "the view axis shards over the global device "
+                             "set (DCN across hosts)")
+    parser.add_argument("--num_hosts", type=int, default=1)
+    parser.add_argument("--host_id", type=int, default=0)
     args = parser.parse_args()
 
     run_service(ServiceConfig(
@@ -58,6 +65,9 @@ def main():
         output_dir=args.output_dir,
         restream_url=args.restream_url,
         on_result=on_result,
+        coordinator=args.coordinator,
+        num_hosts=args.num_hosts,
+        host_id=args.host_id,
     ))
 
 

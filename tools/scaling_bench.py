@@ -66,24 +66,6 @@ def measure(step, args_, iters: int = 20, warmup: int = 2) -> float:
     return iters / (time.perf_counter() - t0)
 
 
-def make_global(tree, mesh, spec_tree):
-    """Host-local full-value arrays -> global jax.Arrays on `mesh`.
-
-    Each process holds the full logical value (identical across processes —
-    deterministic init / shared RNG seed) and contributes only its local
-    shards; this is the standard multi-host ingestion pattern
-    (jax.make_array_from_callback). Works unchanged in single-process mode.
-    """
-    from jax.sharding import NamedSharding
-
-    def put(x, spec):
-        s = NamedSharding(mesh, spec)
-        x = np.asarray(x)
-        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
-
-    return jax.tree_util.tree_map(put, tree, spec_tree)
-
-
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg", default="")
@@ -105,7 +87,7 @@ def main():
     from fvp_tpu.geometry.grids import build_rig_constants
     from fvp_tpu.models.faster_voxelpose import FasterVoxelPose
     from fvp_tpu.parallel.mesh import make_mesh, pick_mesh_shape
-    from fvp_tpu.parallel.sharding import make_sharded_eval_step
+    from fvp_tpu.parallel.sharding import make_global, make_sharded_eval_step
 
     cfg = load_config(args.cfg) if args.cfg else FVPConfig()
     devices = jax.devices()
