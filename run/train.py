@@ -97,6 +97,12 @@ def main():
     parser.add_argument("--save-every", type=int, default=0,
                         help="also checkpoint every N steps mid-epoch "
                              "(stall resilience; 0 = per-epoch only)")
+    parser.add_argument("--torch-init", action="store_true",
+                        help="redraw conv/dense weights from PyTorch "
+                             "DEFAULT init distributions (kaiming_uniform "
+                             "kernels + uniform biases) — removes the "
+                             "init-family asymmetry in cross-framework "
+                             "A/Bs (engine/init.py)")
     args = parser.parse_args()
 
     cfg = load_config(args.cfg)
@@ -135,6 +141,12 @@ def main():
     any_rc = next(iter(rcs.values()))
     state = create_train_state(cfg, model, any_rc, sample_hm,
                                jax.random.PRNGKey(cfg.seed))
+    if args.torch_init:
+        from fvp_tpu.engine.init import torch_like_reinit
+        state = state.replace(params=torch_like_reinit(
+            state.params, jax.random.PRNGKey(cfg.seed + 77)))
+        logger.info("re-initialized params from torch-default "
+                    "distributions (--torch-init)")
     start_epoch, best, start_step = cfg.begin_epoch, -np.inf, 0
     if args.resume:
         restored = load_checkpoint(out_dir, state)

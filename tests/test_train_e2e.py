@@ -395,3 +395,39 @@ def test_packed_collection_matches_in_call_packing(rng):
     for k in ("proposals", "fused_poses", "mask"):
         np.testing.assert_array_equal(np.asarray(out_packed[k]),
                                       np.asarray(out_plain[k]), err_msg=k)
+
+
+def test_torch_like_reinit_distributions(rng):
+    """engine/init.py: kernels redrawn U(+-sqrt(1/fan_in)), biases
+    U(+-1/sqrt(fan_in)) (torch Conv2d/Linear reset_parameters); BN
+    scale/bias untouched; ConvTranspose fan follows torch's dim-1."""
+    from fvp_tpu.engine.init import torch_like_reinit
+    from fvp_tpu.models.cnns import C2CNet, CenterNet
+
+    cfg = e2e_cfg()
+    model = FasterVoxelPose(cfg=cfg)
+    ds, rig = _dataset(rng, cfg)
+    rc = build_rig_constants(cfg, rig)
+    hm = jnp.zeros((1, cfg.num_views, cfg.num_joints, 32, 60))
+    variables = model.init(jax.random.PRNGKey(0), hm, rc, train=False)
+
+    new = torch_like_reinit(variables["params"], jax.random.PRNGKey(1))
+
+    # a conv kernel: uniform within the kaiming bound, not normal
+    k = np.asarray(new["center_net"]["BasicBlock_0"]["Conv_0"]["kernel"])
+    fan = k.shape[0] * k.shape[1] * k.shape[2]
+    bound = (1.0 / fan) ** 0.5
+    assert np.max(np.abs(k)) <= bound + 1e-7
+    assert np.max(np.abs(k)) > 0.8 * bound          # actually fills range
+    # biases nonzero (flax default is zeros)
+    b = np.asarray(new["weight_net"]["Dense_0"]["bias"])
+    assert np.any(b != 0) and np.max(np.abs(b)) <= (
+        1.0 / np.asarray(new["weight_net"]["Dense_0"]["kernel"]).shape[0]
+    ) ** 0.5 + 1e-7
+    # BN scale untouched (ones)
+    bn = new["center_net"]["BasicBlock_0"]["BatchNorm_0"]["scale"]
+    np.testing.assert_array_equal(np.asarray(bn), 1.0)
+    # shapes preserved everywhere
+    assert (jax.tree_util.tree_map(lambda a: a.shape, new)
+            == jax.tree_util.tree_map(lambda a: a.shape,
+                                      variables["params"]))
