@@ -61,7 +61,8 @@ def main() -> None:
                compute_dtype="bfloat16",
                # match bench.py's serving lowerings so the trace profiles
                # what the headline number runs
-               backbone_stem=os.environ.get("FVP_BACKBONE_STEM", "xla"),
+               backbone_stem=os.environ.get(
+                   "FVP_BACKBONE_STEM", "host_s2d" if on_tpu else "xla"),
                backbone_head=os.environ.get(
                    "FVP_BACKBONE_HEAD", "pallas" if on_tpu else "xla")))
     rig = _panoptic_rig(cfg.num_views, cfg)
@@ -75,8 +76,11 @@ def main() -> None:
     w, h = cfg.image_size
     hm_w, hm_h = cfg.heatmap_size
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.rand(1, cfg.num_views, h, w, 3)
-                         .astype(np.float32))
+    images_np = rng.rand(1, cfg.num_views, h, w, 3).astype(np.float32)
+    if cfg.backbone_stem == "host_s2d":
+        from fvp_tpu.ops.pallas.stem import s2d_host
+        images_np = s2d_host(images_np)
+    images = jnp.asarray(images_np)
     hm = jnp.asarray(rng.rand(1, cfg.num_views, cfg.num_joints, hm_h, hm_w)
                      .astype(np.float32))
 
