@@ -197,6 +197,8 @@ def main() -> None:
         "median_ms": round(t_e2e * 1000, 3),
         "mean_ms": round(s_e2e["mean"] * 1000, 3),
         "iqr_ms": round(s_e2e["iqr"] * 1000, 3),
+        "backbone_ms": round(t_bb * 1000, 3),
+        "pipeline_ms": round(t_pipe * 1000, 3),
         "iters": ITERS,
     }))
 
