@@ -121,6 +121,36 @@ def main():
         total_ms += t
         log(f"{st.name}: {t:7.3f} ms  {g:6.1f} GF  "
             f"MFU {g / (t / 1000) / 1e3 / (PEAK / 1e12):5.1%}")
+
+        if st.name == "layer1":
+            # same-run A/B: the fused Pallas stage (ops/pallas/trunk.py)
+            from fvp_tpu.ops.pallas.trunk import (
+                pack_bottleneck_stage, pallas_bottleneck_stage,
+            )
+
+            names = tuple(f"layer1_{i}" for i in range(st.blocks))
+            # _Stage block names are Bottleneck_0.. under the local module
+            p = {f"layer1_{i}": v["params"][f"Bottleneck_{i}"]
+                 for i in range(st.blocks)}
+            s = {f"layer1_{i}": v["batch_stats"][f"Bottleneck_{i}"]
+                 for i in range(st.blocks)}
+            packed = pack_bottleneck_stage(p, s, names)
+            cfg_blocks = tuple((st.cmid, i == 0)
+                               for i in range(st.blocks))
+            interp = jax.default_backend() != "tpu"
+            for R in (16, 32, 64):
+                try:
+                    tp = timeit(jax.jit(
+                        lambda xx, R=R: pallas_bottleneck_stage(
+                            xx, packed, cfg_blocks, R=R,
+                            interpret=interp)), x,
+                        iters=args.iters) * 1000
+                    log(f"  pallas layer1 (R={R}): {tp:7.3f} ms  "
+                        f"MFU {g / (tp / 1000) / 1e3 / (PEAK / 1e12):5.1%}")
+                except Exception as e:  # noqa: BLE001
+                    log(f"  pallas layer1 (R={R}): FAILED "
+                        f"{type(e).__name__}: "
+                        f"{str(e).splitlines()[0][:110]}")
     log(f"trunk stages total: {total_ms:.3f} ms")
 
 
