@@ -97,6 +97,11 @@ def main():
     parser.add_argument("--save-every", type=int, default=0,
                         help="also checkpoint every N steps mid-epoch "
                              "(stall resilience; 0 = per-epoch only)")
+    parser.add_argument("--eval-every", type=int, default=1,
+                        help="run the held-out evaluation every N epochs "
+                             "(always on the final epoch). Eval draws its "
+                             "own fixed RNG, so the cadence never changes "
+                             "the training trajectory")
     parser.add_argument("--torch-init", action="store_true",
                         help="redraw conv/dense weights from PyTorch "
                              "DEFAULT init distributions (kaiming_uniform "
@@ -220,7 +225,9 @@ def main():
                                 step_in_epoch=i + 1)
 
         is_best = True
-        if getattr(test_ds, "has_evaluate_function", False):
+        do_eval = ((epoch + 1) % args.eval_every == 0
+                   or epoch == cfg.end_epoch - 1)
+        if do_eval and getattr(test_ds, "has_evaluate_function", False):
             test_rcs = {seq: jax.tree_util.tree_map(
                 jnp.asarray, build_rig_constants(cfg, rig))
                 for seq, rig in test_ds.rigs.items()}
