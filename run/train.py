@@ -147,8 +147,10 @@ def main():
     state = create_train_state(cfg, model, any_rc, sample_hm,
                                jax.random.PRNGKey(cfg.seed))
     if args.torch_init:
+        import dataclasses
+
         from fvp_tpu.engine.init import torch_like_reinit
-        state = state.replace(params=torch_like_reinit(
+        state = dataclasses.replace(state, params=torch_like_reinit(
             state.params, jax.random.PRNGKey(cfg.seed + 77)))
         logger.info("re-initialized params from torch-default "
                     "distributions (--torch-init)")
