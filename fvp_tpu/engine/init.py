@@ -66,3 +66,45 @@ def torch_like_reinit(params, key: jax.Array):
             new = leaf
         new_leaves.append(new.astype(leaf.dtype))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def reference_reinit(params, key: jax.Array):
+    """Reference-exact initialization, independent draw.
+
+    The reference's scheme: CenterNet / C2CNet / P2PNet call
+    `self._initialize_weights()` in their constructors — every
+    Conv/ConvTranspose weight ~ N(0, 0.001), every bias = 0
+    (lib/models/cnns_2d.py:215,224-232 & :278,297-305;
+    cnns_1d.py:214,231-241) — which fvp's flax modules ALREADY match by
+    default (models/blocks.py INIT). WeightNet DEFINES the method but
+    never calls it (weight_net.py:82-90), so it trains from torch
+    DEFAULTS (kaiming_uniform kernels + uniform biases) where fvp's
+    default is flax lecun_normal + zero biases — the ONE init-family
+    asymmetry between the frameworks.
+
+    This function redraws the three small nets from the same N(0, 0.001)
+    scheme (a fresh seed draw) and gives WeightNet the torch-default
+    distributions via `torch_like_reinit`; BN affines are untouched. In
+    the cross-framework A/B it serves as the init-family +
+    trajectory-seed control arm."""
+    k_small, k_wn = jax.random.split(key)
+    out = dict(params)
+    for mi, name in enumerate(("center_net", "c2c_net", "p2p_net")):
+        sub = params[name]
+        flat = jax.tree_util.tree_flatten_with_path(sub)[0]
+        tdef = jax.tree_util.tree_structure(sub)
+        keys = jax.random.split(jax.random.fold_in(k_small, mi),
+                                max(len(flat), 1))
+        leaves = []
+        for (path, leaf), k in zip(flat, keys):
+            pname = str(getattr(path[-1], "key", path[-1]))
+            if pname == "kernel" and leaf.ndim >= 2:
+                leaves.append((jax.random.normal(k, leaf.shape, jnp.float32)
+                               * 1e-3).astype(leaf.dtype))
+            elif pname == "bias":
+                leaves.append(jnp.zeros_like(leaf))
+            else:
+                leaves.append(leaf)
+        out[name] = jax.tree_util.tree_unflatten(tdef, leaves)
+    out["weight_net"] = torch_like_reinit(params["weight_net"], k_wn)
+    return out

@@ -103,11 +103,10 @@ def main():
                              "own fixed RNG, so the cadence never changes "
                              "the training trajectory")
     parser.add_argument("--torch-init", action="store_true",
-                        help="redraw conv/dense weights from PyTorch "
-                             "DEFAULT init distributions (kaiming_uniform "
-                             "kernels + uniform biases) — removes the "
-                             "init-family asymmetry in cross-framework "
-                             "A/Bs (engine/init.py)")
+                        help="redraw weights from the REFERENCE's actual "
+                             "init scheme (N(0,0.001) convs + zero bias "
+                             "for CenterNet/C2C/P2P, torch defaults for "
+                             "WeightNet — engine/init.py reference_reinit)")
     args = parser.parse_args()
 
     cfg = load_config(args.cfg)
@@ -149,11 +148,11 @@ def main():
     if args.torch_init:
         import dataclasses
 
-        from fvp_tpu.engine.init import torch_like_reinit
-        state = dataclasses.replace(state, params=torch_like_reinit(
+        from fvp_tpu.engine.init import reference_reinit
+        state = dataclasses.replace(state, params=reference_reinit(
             state.params, jax.random.PRNGKey(cfg.seed + 77)))
-        logger.info("re-initialized params from torch-default "
-                    "distributions (--torch-init)")
+        logger.info("re-initialized params from the reference's init "
+                    "scheme (--torch-init)")
     start_epoch, best, start_step = cfg.begin_epoch, -np.inf, 0
     if args.resume:
         restored = load_checkpoint(out_dir, state)
