@@ -1,15 +1,14 @@
-"""Torch-default weight re-initialization.
+"""Weight re-initialization utilities for cross-framework parity work.
 
-The reference never calls its models' `_initialize_weights`, so every
-conv/dense layer trains from PyTorch DEFAULT init: kernels
-kaiming_uniform(a=sqrt(5)) — for a conv kernel that is U(+-sqrt(1/fan_in))
-with fan_in = kh*kw*cin — and biases U(+-1/sqrt(fan_in)) (torch
-nn.Conv2d/Linear reset_parameters). Flax defaults differ (lecun_normal
-kernels, ZERO biases). For the cross-framework convergence A/B
-(CORRECTNESS_r04) this is the one remaining framework asymmetry after
-data, loss, optimizer and augmentation parity — `torch_like_reinit`
-walks an existing flax param tree and redraws every kernel/bias from the
-torch-default distributions, keyed per leaf.
+`torch_like_reinit` redraws kernels/biases from PyTorch DEFAULT init:
+kernels kaiming_uniform(a=sqrt(5)) — for a conv kernel that is
+U(+-sqrt(1/fan_in)) with fan_in = kh*kw*cin — and biases
+U(+-1/sqrt(fan_in)) (torch nn.Conv2d/Linear reset_parameters). This is
+what the reference's WEIGHTNET trains from (its `_initialize_weights`
+is defined but never invoked); the reference's other three small nets
+DO call theirs (N(0, 0.001) + zero bias), which fvp's flax modules
+already match by default — see `reference_reinit` below for the full
+scheme used by the CORRECTNESS_r04 A/B control arm.
 
 ConvTranspose note: torch's fan_in for ConvTranspose2d weights
 (in, out, kh, kw) is out*kh*kw (dim-1 based); flax stores
