@@ -431,3 +431,29 @@ def test_torch_like_reinit_distributions(rng):
     assert (jax.tree_util.tree_map(lambda a: a.shape, new)
             == jax.tree_util.tree_map(lambda a: a.shape,
                                       variables["params"]))
+
+
+def test_reference_reinit_scheme(rng):
+    """reference_reinit: the three reference-initialized nets get
+    N(0, 0.001) kernels + zero biases (matching the flax defaults'
+    distribution family); WeightNet gets torch-default kaiming uniform +
+    nonzero uniform biases (the reference never invokes its
+    _initialize_weights — weight_net.py:82)."""
+    from fvp_tpu.engine.init import reference_reinit
+
+    cfg = e2e_cfg()
+    model = FasterVoxelPose(cfg=cfg)
+    ds, rig = _dataset(rng, cfg)
+    rc = build_rig_constants(cfg, rig)
+    hm = jnp.zeros((1, cfg.num_views, cfg.num_joints, 32, 60))
+    variables = model.init(jax.random.PRNGKey(0), hm, rc, train=False)
+    new = reference_reinit(variables["params"], jax.random.PRNGKey(5))
+
+    k = np.asarray(new["center_net"]["BasicBlock_0"]["Conv_0"]["kernel"])
+    assert 5e-4 < k.std() < 2e-3
+    b = new["center_net"]["Conv_1"]["bias"]
+    np.testing.assert_array_equal(np.asarray(b), 0.0)
+    wk = np.asarray(new["weight_net"]["Conv_0"]["kernel"])
+    fan = wk.shape[0] * wk.shape[1] * wk.shape[2]
+    assert np.max(np.abs(wk)) <= (1.0 / fan) ** 0.5 + 1e-7
+    assert np.any(np.asarray(new["weight_net"]["Dense_0"]["bias"]) != 0)
