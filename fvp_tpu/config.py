@@ -111,6 +111,13 @@ class FVPConfig:
     lambda_loss_bbox: float = 0.1
     lambda_loss_fused: float = 5.0
     accumulation_steps: int = 4    # HDN-loss gradient accumulation window
+    # weight-init family (extension): 'flax' = flax defaults
+    # (lecun_normal kernels + zero biases); 'reference' = the reference's
+    # actual scheme (N(0, 0.001) + zero bias for CenterNet/C2C/P2P —
+    # lib/models/cnns_2d.py:224-232, cnns_1d.py:231-241 — and torch
+    # DEFAULTS for WeightNet, whose _initialize_weights is never invoked,
+    # weight_net.py:82-90). See fvp_tpu/engine/init.py.
+    init_scheme: str = "flax"
     data_augmentation: bool = False
     # render gt/pred input heatmaps on device inside the jitted step
     # (ops/heatmap_render.py) instead of on the host: ~600x less
@@ -227,6 +234,7 @@ def _apply_yaml(cfg_kw: dict[str, Any], doc: dict[str, Any]) -> None:
             take(sec, "LAMBDA_LOSS_1D", "lambda_loss_1d", float)
             take(sec, "LAMBDA_LOSS_BBOX", "lambda_loss_bbox", float)
             take(sec, "LAMBDA_LOSS_FUSED", "lambda_loss_fused", float)
+            take(sec, "INIT_SCHEME", "init_scheme", str)
             for k in list(sec):
                 sec.pop(k)
         elif sec_name == "SYNTHETIC":
@@ -322,6 +330,7 @@ def config_to_yaml_dict(cfg: FVPConfig) -> dict[str, Any]:
     ext(train, "LR_DECAY_EPOCHS", list(cfg.lr_decay_epochs),
         list(d.lr_decay_epochs))
     ext(train, "LR_DECAY_FACTOR", cfg.lr_decay_factor, d.lr_decay_factor)
+    ext(train, "INIT_SCHEME", cfg.init_scheme, d.init_scheme)
 
     synthetic = {
         "CAMERA_FILE": cfg.synthetic_camera_file,

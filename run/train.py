@@ -97,6 +97,13 @@ def main():
     parser.add_argument("--save-every", type=int, default=0,
                         help="also checkpoint every N steps mid-epoch "
                              "(stall resilience; 0 = per-epoch only)")
+    parser.add_argument("--checkpoint-every", type=int, default=1,
+                        help="save the rolling checkpoint every N epochs "
+                             "(always on the final epoch; the best-model "
+                             "copy refreshes only at save points). "
+                             "Per-epoch saves cost ~30 s of device->host "
+                             "transfer on the tunneled chip, which "
+                             "dominates small-protocol epochs")
     parser.add_argument("--eval-every", type=int, default=1,
                         help="run the held-out evaluation every N epochs "
                              "(always on the final epoch). Eval draws its "
@@ -145,14 +152,17 @@ def main():
     any_rc = next(iter(rcs.values()))
     state = create_train_state(cfg, model, any_rc, sample_hm,
                                jax.random.PRNGKey(cfg.seed))
-    if args.torch_init:
+    if cfg.init_scheme not in ("flax", "reference"):
+        raise ValueError(f"unknown TRAIN.INIT_SCHEME {cfg.init_scheme!r} "
+                         "(expected 'flax' or 'reference')")
+    if args.torch_init or cfg.init_scheme == "reference":
         import dataclasses
 
         from fvp_tpu.engine.init import reference_reinit
         state = dataclasses.replace(state, params=reference_reinit(
             state.params, jax.random.PRNGKey(cfg.seed + 77)))
         logger.info("re-initialized params from the reference's init "
-                    "scheme (--torch-init)")
+                    "scheme (--torch-init / TRAIN.INIT_SCHEME=reference)")
     start_epoch, best, start_step = cfg.begin_epoch, -np.inf, 0
     if args.resume:
         restored = load_checkpoint(out_dir, state)
@@ -244,8 +254,11 @@ def main():
             best = max(best, score)
             writer.add_scalars(int(state.step), eval_score=score)
 
-        save_checkpoint(out_dir, state, epoch + 1, best, is_best=is_best)
-        logger.info(f"saved checkpoint (best={is_best})")
+        do_save = ((epoch + 1) % args.checkpoint_every == 0
+                   or epoch == cfg.end_epoch - 1)
+        if do_save:
+            save_checkpoint(out_dir, state, epoch + 1, best, is_best=is_best)
+            logger.info(f"saved checkpoint (best={is_best})")
 
 
 if __name__ == "__main__":

@@ -67,7 +67,8 @@ def test_gen_config_roundtrip(tmp_path):
                   voxels_per_axis=(48, 48, 12), root_joint_id=(11, 12),
                   lr_decay_epochs=(55, 70), device_render=True,
                   backbone_head="pallas", synthetic_scene_file="/tmp/x.pkl",
-                  train_dataset="synthetic", data_augmentation=True),
+                  train_dataset="synthetic", data_augmentation=True,
+                  init_scheme="reference"),
     ):
         p = str(tmp_path / "dump.yaml")
         gen_config(cfg, p)
@@ -88,7 +89,8 @@ def test_gen_config_default_dump_is_reference_schema(tmp_path):
         doc = yaml.safe_load(f)
     assert "RESNET" not in doc
     for sec, keys in (("DATASET", {"DEVICE_RENDER"}),
-                      ("TRAIN", {"LR_DECAY_EPOCHS", "LR_DECAY_FACTOR"}),
+                      ("TRAIN", {"LR_DECAY_EPOCHS", "LR_DECAY_FACTOR",
+                                 "INIT_SCHEME"}),
                       ("SYNTHETIC", {"SCENE_FILE"}),
                       ("NETWORK", {"JLN_BAND_HEIGHT", "WHOLE_BAND_HEIGHT"})):
         assert not keys & set(doc[sec]), (sec, keys & set(doc[sec]))
