@@ -41,6 +41,12 @@ def main():
     parser.add_argument("--cfg", required=True)
     parser.add_argument("--checkpoint", default=None,
                         help="model_best.msgpack from training")
+    parser.add_argument("--seed", type=int, default=None,
+                        help="override cfg.seed. Eval heatmap-augmentation "
+                             "draws derive from it (engine/validate.py "
+                             "eval_rng), so sweeping seeds on one "
+                             "checkpoint measures eval-draw noise; frozen "
+                             "SCENE_FILE scenes are unaffected")
     parser.add_argument("--sampling-backend", default=None,
                         choices=["auto", "pallas", "exact"],
                         help="override MODEL.SAMPLING_BACKEND (for "
@@ -54,6 +60,8 @@ def main():
     args = parser.parse_args()
 
     cfg = load_config(args.cfg)
+    if args.seed is not None:
+        cfg = cfg.replace(seed=args.seed)
     if args.sampling_backend:
         cfg = cfg.replace(sampling_backend=args.sampling_backend)
     cfg_name = os.path.splitext(os.path.basename(args.cfg))[0]
