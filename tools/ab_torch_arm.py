@@ -176,11 +176,19 @@ def main() -> None:
                          "(mirrors fvp_tpu's fixed eval RNG, "
                          "fvp_tpu/engine/validate.py:103-110)")
     ap.add_argument("--threads", type=int, default=3)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training seed (init draws + loader shuffle). "
+                         "Sweeping it measures the torch arm's run-to-run "
+                         "trajectory variance — the first remaining "
+                         "suspect for the late-stage A/B gap "
+                         "(CORRECTNESS_r04)")
+    ap.add_argument("--out", default=None,
+                    help="override OUTPUT_DIR (e.g. a per-seed dir)")
     args = ap.parse_args()
 
     torch.set_num_threads(args.threads)
     update_config(args.cfg)
-    out = config.OUTPUT_DIR
+    out = args.out or config.OUTPUT_DIR
     os.makedirs(out, exist_ok=True)
 
     import logging
@@ -195,9 +203,9 @@ def main() -> None:
     with open(os.path.join(args.data, "cameras.pkl"), "rb") as f:
         cameras = pickle.load(f)
 
-    torch.manual_seed(0)
-    np.random.seed(0)
-    random.seed(0)
+    torch.manual_seed(args.seed)
+    np.random.seed(args.seed)
+    random.seed(args.seed)
 
     train_ds = FixedScenes(config, scenes["train"], cameras, is_train=True)
     test_ds = FixedScenes(config, scenes["test"], cameras, is_train=False)
