@@ -147,6 +147,18 @@ class FVPConfig:
     compute_dtype: str = "float32"
 
     # ------------------------------------------------------------------
+    def __post_init__(self):
+        # fail fast in EVERY consumer (not just run/train.py): a YAML typo
+        # like INIT_SCHEME: torch must not silently mean 'flax'
+        if self.init_scheme not in ("flax", "reference"):
+            raise ValueError(
+                f"TRAIN.INIT_SCHEME {self.init_scheme!r} is not one of "
+                "('flax', 'reference')")
+        if self.sampling_backend not in ("auto", "pallas", "exact"):
+            raise ValueError(
+                f"sampling_backend {self.sampling_backend!r} is not one of "
+                "('auto', 'pallas', 'exact')")
+
     @property
     def fine_voxels_per_axis(self) -> tuple[int, int, int]:
         """Fine-grid axis counts: whole-space voxelization at the individual

@@ -52,14 +52,24 @@ def save_checkpoint(out_dir: str, state, epoch: int, best_metric: float,
     _write_atomic(path, serialization.msgpack_serialize(payload))
 
     if is_best:
-        # params AND batch_stats: eval with random-init BN running stats
-        # is garbage (the reference's model_best stores the full module
-        # state dict too, run/train.py:151-160)
-        bpath = os.path.join(out_dir, "model_best.msgpack")
-        _write_atomic(bpath, serialization.msgpack_serialize(
-            {"params": _to_host(state.params),
-             "batch_stats": _to_host(state.batch_stats)}))
+        save_best(out_dir, state)
     return path
+
+
+def save_best(out_dir: str, state) -> str:
+    """Write model_best.msgpack (params AND batch_stats: eval with
+    random-init BN running stats is garbage — the reference's model_best
+    stores the full module state dict too, run/train.py:151-160).
+
+    Separate from `save_checkpoint` so a new best found at an eval epoch
+    is persisted immediately even when the rolling-checkpoint cadence
+    (--checkpoint-every) skips that epoch."""
+    os.makedirs(out_dir, exist_ok=True)
+    bpath = os.path.join(out_dir, "model_best.msgpack")
+    _write_atomic(bpath, serialization.msgpack_serialize(
+        {"params": _to_host(state.params),
+         "batch_stats": _to_host(state.batch_stats)}))
+    return bpath
 
 
 def load_checkpoint(out_dir: str, state_template):

@@ -35,7 +35,9 @@ import numpy as np
 from fvp_tpu.config import load_config
 from fvp_tpu.data.loader import build_samples, collate, prefetch
 from fvp_tpu.data.registry import build_dataset
-from fvp_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
+from fvp_tpu.engine.checkpoint import (
+    load_checkpoint, save_best, save_checkpoint,
+)
 from fvp_tpu.engine.train import create_train_state, make_train_step
 from fvp_tpu.engine.validate import run_validation
 from fvp_tpu.geometry.grids import build_rig_constants
@@ -115,6 +117,11 @@ def main():
                              "for CenterNet/C2C/P2P, torch defaults for "
                              "WeightNet — engine/init.py reference_reinit)")
     args = parser.parse_args()
+    if args.checkpoint_every < 1:
+        parser.error("--checkpoint-every must be >= 1 (per-epoch cadence; "
+                     "use --save-every for mid-epoch saves)")
+    if args.eval_every < 1:
+        parser.error("--eval-every must be >= 1")
 
     cfg = load_config(args.cfg)
     if args.epochs is not None:
@@ -152,9 +159,7 @@ def main():
     any_rc = next(iter(rcs.values()))
     state = create_train_state(cfg, model, any_rc, sample_hm,
                                jax.random.PRNGKey(cfg.seed))
-    if cfg.init_scheme not in ("flax", "reference"):
-        raise ValueError(f"unknown TRAIN.INIT_SCHEME {cfg.init_scheme!r} "
-                         "(expected 'flax' or 'reference')")
+    # (init_scheme values are validated by FVPConfig.__post_init__)
     if args.torch_init or cfg.init_scheme == "reference":
         import dataclasses
 
@@ -235,10 +240,12 @@ def main():
                 save_checkpoint(out_dir, state, epoch, best,
                                 step_in_epoch=i + 1)
 
-        is_best = True
+        has_eval = getattr(test_ds, "has_evaluate_function", False)
+        # without an evaluator there is no score: best == latest weights
+        is_best = not has_eval
         do_eval = ((epoch + 1) % args.eval_every == 0
                    or epoch == cfg.end_epoch - 1)
-        if do_eval and getattr(test_ds, "has_evaluate_function", False):
+        if do_eval and has_eval:
             test_rcs = {seq: jax.tree_util.tree_map(
                 jnp.asarray, build_rig_constants(cfg, rig))
                 for seq, rig in test_ds.rigs.items()}
@@ -250,15 +257,20 @@ def main():
             metrics = res.get("metrics", {})
             logger.info(f"epoch {epoch} metrics: {metrics}")
             score = metrics.get("mean_ap", metrics.get("avg_pcp", 0.0))
-            is_best = score >= best
-            best = max(best, score)
+            if score >= best:
+                best = score
+                # persist the new best NOW: the rolling-checkpoint cadence
+                # below may skip this epoch, and `best` must never record a
+                # score whose weights were not written
+                save_best(out_dir, state)
+                logger.info(f"saved model_best (score {score:.4f})")
             writer.add_scalars(int(state.step), eval_score=score)
 
         do_save = ((epoch + 1) % args.checkpoint_every == 0
                    or epoch == cfg.end_epoch - 1)
         if do_save:
             save_checkpoint(out_dir, state, epoch + 1, best, is_best=is_best)
-            logger.info(f"saved checkpoint (best={is_best})")
+            logger.info("saved checkpoint")
 
 
 if __name__ == "__main__":
