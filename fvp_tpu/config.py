@@ -111,6 +111,13 @@ class FVPConfig:
     lambda_loss_bbox: float = 0.1
     lambda_loss_fused: float = 5.0
     accumulation_steps: int = 4    # HDN-loss gradient accumulation window
+    # Quirk-exact replication of the reference's accumulate-then-step
+    # interleaving (lib/core/function.py:28,79-85): the HDN optimizer steps
+    # at every k-th batch on the PREVIOUS k-1 batches' mean detection loss
+    # and the k-th batch's detection loss is dropped from the window
+    # entirely (its `else` branch never runs); the window also resets at
+    # each epoch boundary. False = clean optax.MultiSteps k-batch average.
+    accumulation_quirk: bool = False
     # weight-init family (extension): 'flax' = flax defaults
     # (lecun_normal kernels + zero biases); 'reference' = the reference's
     # actual scheme (N(0, 0.001) + zero bias for CenterNet/C2C/P2P —
@@ -247,6 +254,7 @@ def _apply_yaml(cfg_kw: dict[str, Any], doc: dict[str, Any]) -> None:
             take(sec, "LAMBDA_LOSS_BBOX", "lambda_loss_bbox", float)
             take(sec, "LAMBDA_LOSS_FUSED", "lambda_loss_fused", float)
             take(sec, "INIT_SCHEME", "init_scheme", str)
+            take(sec, "ACCUMULATION_QUIRK", "accumulation_quirk", bool)
             for k in list(sec):
                 sec.pop(k)
         elif sec_name == "SYNTHETIC":
@@ -343,6 +351,8 @@ def config_to_yaml_dict(cfg: FVPConfig) -> dict[str, Any]:
         list(d.lr_decay_epochs))
     ext(train, "LR_DECAY_FACTOR", cfg.lr_decay_factor, d.lr_decay_factor)
     ext(train, "INIT_SCHEME", cfg.init_scheme, d.init_scheme)
+    ext(train, "ACCUMULATION_QUIRK", cfg.accumulation_quirk,
+        d.accumulation_quirk)
 
     synthetic = {
         "CAMERA_FILE": cfg.synthetic_camera_file,

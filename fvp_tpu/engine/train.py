@@ -11,8 +11,14 @@ Because the reference detaches proposals before the JLN
 (faster_voxelpose.py:93), the joint loss has zero gradient w.r.t. HDN params
 and vice versa — so ONE backward pass of the summed loss yields both
 optimizers' gradients exactly. The accumulation uses optax.MultiSteps (a
-clean k-batch average; the reference's accumulate-then-step interleaving
-drops every 4th batch from the window — a quirk not worth preserving).
+clean k-batch average) by default; TRAIN.ACCUMULATION_QUIRK replicates the
+reference's accumulate-then-step interleaving EXACTLY instead — the HDN
+step at batch i with (i+1) % k == 0 consumes only batches i-k+1..i-1 (the
+stepping batch's detection loss is dropped from the window: function.py:79
+steps BEFORE the `else` that would accumulate it), windows restart at each
+epoch boundary (`accu_loss = 0` at function.py:29), and the step is gated
+on the accumulated loss being > 0. Used by the cross-framework lockstep
+A/B so the optimizer schedule is experimentally identical across arms.
 """
 
 from __future__ import annotations
@@ -39,6 +45,11 @@ class TrainState:
     hdn_opt: Any
     jln_opt: Any
     step: Any
+    # ACCUMULATION_QUIRK window state (None when the quirk is off, so the
+    # tree structure — and checkpoint layout — is unchanged by default):
+    acc_grads: Any = None      # sum of hdn grads / k over the open window
+    acc_loss: Any = None       # accumulated detection loss (step gate)
+    acc_count: Any = None      # within-epoch batch index (resets per epoch)
 
 
 def _split(params):
@@ -65,9 +76,15 @@ def _lr_schedule(cfg: FVPConfig, per_k: int = 1):
 
 
 def make_optimizers(cfg: FVPConfig):
-    hdn_tx = optax.MultiSteps(
-        optax.adam(_lr_schedule(cfg, cfg.accumulation_steps)),
-        every_k_schedule=cfg.accumulation_steps)
+    if cfg.accumulation_quirk:
+        # plain Adam; the k-batch window is managed explicitly in the
+        # train step (TrainState.acc_*) to replicate the reference's
+        # interleaving exactly
+        hdn_tx = optax.adam(_lr_schedule(cfg, cfg.accumulation_steps))
+    else:
+        hdn_tx = optax.MultiSteps(
+            optax.adam(_lr_schedule(cfg, cfg.accumulation_steps)),
+            every_k_schedule=cfg.accumulation_steps)
     jln_tx = optax.adam(_lr_schedule(cfg))
     return hdn_tx, jln_tx
 
@@ -82,12 +99,33 @@ def create_train_state(cfg: FVPConfig, model: FasterVoxelPose, rc,
     batch_stats = variables.get("batch_stats", {})
     hdn_tx, jln_tx = make_optimizers(cfg)
     hdn_params, jln_params = _split(params)
+    quirk = cfg.accumulation_quirk
     return TrainState(
         params=params,
         batch_stats=batch_stats,
         hdn_opt=hdn_tx.init(hdn_params),
         jln_opt=jln_tx.init(jln_params),
         step=jnp.zeros((), jnp.int32),
+        acc_grads=(jax.tree_util.tree_map(jnp.zeros_like, hdn_params)
+                   if quirk else None),
+        acc_loss=jnp.zeros((), jnp.float32) if quirk else None,
+        acc_count=jnp.zeros((), jnp.int32) if quirk else None,
+    )
+
+
+def reset_accumulation(state: TrainState) -> TrainState:
+    """Zero the ACCUMULATION_QUIRK window (reference resets `accu_loss`
+    and the batch index at each epoch start, function.py:28-29,37). Call
+    between epochs when the quirk is enabled; no-op otherwise."""
+    import dataclasses
+
+    if state.acc_count is None:
+        return state
+    return dataclasses.replace(
+        state,
+        acc_grads=jax.tree_util.tree_map(jnp.zeros_like, state.acc_grads),
+        acc_loss=jnp.zeros_like(state.acc_loss),
+        acc_count=jnp.zeros_like(state.acc_count),
     )
 
 
@@ -146,9 +184,40 @@ def make_train_step_fn(cfg: FVPConfig, model: FasterVoxelPose,
         hdn_grads, jln_grads = _split(grads)
         hdn_params, jln_params = _split(state.params)
 
-        hdn_updates, hdn_opt = hdn_tx.update(hdn_grads, state.hdn_opt,
-                                             hdn_params)
-        new_hdn = optax.apply_updates(hdn_params, hdn_updates)
+        if cfg.accumulation_quirk:
+            k = cfg.accumulation_steps
+            hdn_loss = (losses["2d_heatmaps"] + losses["1d_heatmaps"]
+                        + losses["bbox"])
+            # reference: step on the accumulated (k-1)-batch window at
+            # every k-th batch, DROPPING the current batch's detection
+            # loss (function.py:79-85: the `else` accumulate branch does
+            # not run on the stepping iteration)
+            do_step = ((state.acc_loss > 0)
+                       & ((state.acc_count + 1) % k == 0))
+
+            def quirk_step(_):
+                updates, opt = hdn_tx.update(state.acc_grads,
+                                             state.hdn_opt, hdn_params)
+                return (optax.apply_updates(hdn_params, updates), opt,
+                        jax.tree_util.tree_map(jnp.zeros_like,
+                                               state.acc_grads),
+                        jnp.zeros_like(state.acc_loss))
+
+            def quirk_acc(_):
+                acc = jax.tree_util.tree_map(
+                    lambda a, g: a + g / k, state.acc_grads, hdn_grads)
+                return (hdn_params, state.hdn_opt, acc,
+                        state.acc_loss + hdn_loss / k)
+
+            new_hdn, hdn_opt, acc_grads, acc_loss = jax.lax.cond(
+                do_step, quirk_step, quirk_acc, None)
+            acc_count = state.acc_count + 1
+        else:
+            hdn_updates, hdn_opt = hdn_tx.update(hdn_grads, state.hdn_opt,
+                                                 hdn_params)
+            new_hdn = optax.apply_updates(hdn_params, hdn_updates)
+            acc_grads, acc_loss, acc_count = (
+                state.acc_grads, state.acc_loss, state.acc_count)
 
         def do_jln(_):
             updates, opt = jln_tx.update(jln_grads, state.jln_opt,
@@ -168,6 +237,9 @@ def make_train_step_fn(cfg: FVPConfig, model: FasterVoxelPose,
             hdn_opt=hdn_opt,
             jln_opt=jln_opt,
             step=state.step + 1,
+            acc_grads=acc_grads,
+            acc_loss=acc_loss,
+            acc_count=acc_count,
         )
         return new_state, losses
 

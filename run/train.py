@@ -38,7 +38,9 @@ from fvp_tpu.data.registry import build_dataset
 from fvp_tpu.engine.checkpoint import (
     load_checkpoint, save_best, save_checkpoint,
 )
-from fvp_tpu.engine.train import create_train_state, make_train_step
+from fvp_tpu.engine.train import (
+    create_train_state, make_train_step, reset_accumulation,
+)
 from fvp_tpu.engine.validate import run_validation
 from fvp_tpu.geometry.grids import build_rig_constants
 from fvp_tpu.models.faster_voxelpose import FasterVoxelPose
@@ -186,6 +188,12 @@ def main():
     eval_step_every = max(len(train_ds) // cfg.batch_size, 1)
 
     for epoch in range(start_epoch, cfg.end_epoch):
+        if cfg.accumulation_quirk and not (epoch == start_epoch
+                                           and start_step):
+            # reference resets the accumulation window per epoch
+            # (function.py:28-29); a mid-epoch resume keeps the
+            # checkpointed window instead
+            state = reset_accumulation(state)
         meters = {k: AverageMeter() for k in
                   ("total", "2d_heatmaps", "1d_heatmaps", "bbox", "joint",
                    "batch_time")}
