@@ -65,16 +65,22 @@ class C2CNet(nn.Module):
 
 class P2PNet(nn.Module):
     """Plane-to-pose net: (N, A, B, J) plane stacks -> per-joint plane
-    heatmaps (N, A, B, J)."""
+    heatmaps (N, A, B, J).
+
+    `mask` (train only): (G, M) per-scene sample mask with N = G*M
+    group-major — train-mode BN statistics are then computed per scene
+    over matched persons only, replicating the reference's per-batch-item
+    JLN loop (joint_localization_net.py:148-162); see
+    blocks.MaskedBatchNorm."""
     num_joints: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         d = self.dtype
-        x = BasicBlock(16, 7, dims=2, dtype=d)(x, train)
-        x = ResBlock(32, dims=2, dtype=d)(x, train)
-        x = EncoderDecoder(dims=2, dtype=d)(x, train)
+        x = BasicBlock(16, 7, dims=2, dtype=d)(x, train, mask)
+        x = ResBlock(32, dims=2, dtype=d)(x, train, mask)
+        x = EncoderDecoder(dims=2, dtype=d)(x, train, mask)
         return nn.Conv(self.num_joints, (1, 1), padding="VALID",
                        kernel_init=INIT,
                        bias_init=nn.initializers.zeros)(
@@ -110,10 +116,13 @@ class WeightNet(nn.Module):
     use_pallas: Any = None     # None = auto (inference on TPU)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         import jax
 
         # x: (N, A, B, J) plane heatmaps; one joint map per weight
+        # mask (train only): (G, M) per-scene sample mask over N = G*M —
+        # see P2PNet; expanded by J below for the per-(person, joint)
+        # entries this net flattens to
         n, a, b, j = x.shape
         use_pallas = self.use_pallas
         if use_pallas is None:
@@ -133,11 +142,14 @@ class WeightNet(nn.Module):
                         if self.has_variable("packed", "fused") else None))
             x = x.reshape(n * j, self.feat_channels)
         else:
+            from fvp_tpu.models.blocks import _bn
+
             x = x.transpose(0, 3, 1, 2).reshape(n * j, a, b, 1)
+            jmask = (jnp.repeat(mask, j, axis=1)
+                     if mask is not None else None)
             x = nn.Conv(self.feat_channels, (3, 3), padding="SAME",
                         dtype=self.dtype)(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             dtype=self.dtype)(x)
+            x = _bn(x, train, jmask, self.dtype, "BatchNorm_0")
             x = max_pool(x, dims=2)
             x = nn.relu(x)
             x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # global pool

@@ -265,6 +265,40 @@ class FasterVoxelPose(nn.Module):
             planes = collapse_planes(
                 cubes.reshape(B * K, *cubes.shape[2:]))
         # planes: (3, BK, A, B, J); offsets: (B, K, 3)
+        if train and not self.is_initializing():
+            # The reference trains the JLN per batch item on ONLY that
+            # scene's matched persons (joint_localization_net.py:148-175),
+            # so its train-mode BN statistics are per-scene and never see
+            # the fixed-K padding fvp carries for jit shapes. Reorder the
+            # plane stacks scene-major and hand each net the per-scene
+            # mask: MaskedBatchNorm then reproduces torch's statistics
+            # (and sequential running updates) exactly — confirmed by the
+            # lockstep A/B (tools/ab_lockstep.py, CORRECTNESS_r05.md).
+            A1, B1 = planes.shape[2], planes.shape[3]
+            pb = planes.reshape(3, B, K, A1, B1, J) \
+                .transpose(1, 0, 2, 3, 4, 5).reshape(B * 3 * K, A1, B1, J)
+            mask2d = jnp.broadcast_to(
+                person_mask[:, None, :], (B, 3, K)).reshape(B, 3 * K)
+            feats_b = self.p2p_net(pb, train, mask=mask2d)
+            feats3 = feats_b.reshape(B, 3, K, nx, nx, J) \
+                .transpose(1, 0, 2, 3, 4, 5).reshape(3, B * K, nx, nx, J)
+            weights = self.weight_net(feats_b, train, mask=mask2d)
+            weights = weights.reshape(B, 3, K, J, 1) \
+                .transpose(1, 0, 2, 3, 4).reshape(3, B * K, J, 1)
+            coords, confs = soft_argmax(
+                feats3.reshape(3, B * K, nx * nx, J),
+                rc.center_grid, cfg.beta)                    # (3, BK, J, 2)
+            off = offsets.reshape(B * K, 1, 3)
+            coords = jnp.stack([
+                coords[0] + off[..., 0:2],                   # xy plane
+                coords[1] + off[..., ::2],                   # xz plane
+                coords[2] + off[..., 1:],                    # yz plane
+            ])
+            fused = self._fuse(coords, weights)              # (BK, J, 3)
+            return (fused.reshape(B, K, J, 3),
+                    coords.reshape(3, B, K, J, 2),
+                    confs.reshape(B, K))
+
         flat_planes = planes.reshape(3 * B * K, *planes.shape[2:])
         from fvp_tpu.ops.pallas.hourglass import hourglass_supported
         if (cfg.fuse_p2p and pallas and not train
