@@ -348,7 +348,8 @@ def sample_person_planes_pallas_batched(heatmaps: jax.Array,
                                         tile=(8, 4, 4),
                                         band_height: int = 32,
                                         interpret: bool = False,
-                                        hm_dtype=jnp.bfloat16):
+                                        hm_dtype=jnp.bfloat16,
+                                        fused: bool = False):
     """Fused JLN sampling + tri-plane collapse: the planes are reduced
     straight from the kernel's tiled output, so the (K, 64^3, J) cubes are
     never materialized in (X, Y, Z) order (saves ~7 ms/frame of transposes
@@ -377,23 +378,43 @@ def sample_person_planes_pallas_batched(heatmaps: jax.Array,
     if person_mask is not None:
         tile_valid = tile_valid & person_mask.reshape(P)[:, None]
 
-    out = pallas_tiled_sample_project(
-        padded, corner, _pack_cam_params(rc.rig, rc.hm_transform),
-        tile_valid, Tx * Ty * Tz, tx * ty * tz, _person_geom(cfg, tile),
-        PH=band_height, people_per_item=K, interpret=interpret,
-        hm_dtype=hm_dtype, out_dtype=hm_dtype)        # (P, T, J, S)
-
-    # fused masked tri-plane collapse: one pass over the tiled tensor in a
-    # second Pallas kernel (the XLA relayout + three full reductions cost
-    # ~3.6 ms/frame at flagship shapes — see ops/pallas/collapse.py)
-    from fvp_tpu.ops.pallas.collapse import collapse_planes_pallas
-
     def person_bounds(ctl, bb):
         start, end, alive = _person_validity(ctl, bb, cfg)
         end = jnp.where(alive, end, start)     # dead person: empty range
         return start, end
 
     start, end = jax.vmap(person_bounds)(corner, flat_bbox)
+
+    if fused:
+        # v2: single-launch sample+collapse — the (P, T, J, S) tiled
+        # tensor never reaches HBM (ops/pallas/sampler.py
+        # pallas_tiled_sample_project_collapse); bitwise-identical
+        # partials, same XLA finish
+        from fvp_tpu.ops.pallas.collapse import finish_plane_partials
+        from fvp_tpu.ops.pallas.sampler import (
+            pallas_tiled_sample_project_collapse,
+        )
+
+        oxy, oxz, oyz = pallas_tiled_sample_project_collapse(
+            padded, corner, _pack_cam_params(rc.rig, rc.hm_transform),
+            tile_valid, start, end, _person_geom(cfg, tile), tdims,
+            PH=band_height, people_per_item=K, interpret=interpret,
+            hm_dtype=hm_dtype, out_dtype=hm_dtype)
+        xy, xz, yz = finish_plane_partials(oxy, oxz, oyz, tdims)
+        planes = jnp.stack([xy, xz, yz]).astype(jnp.float32)
+        return planes, offset.reshape(B, K, 3)
+
+    out = pallas_tiled_sample_project(
+        padded, corner, _pack_cam_params(rc.rig, rc.hm_transform),
+        tile_valid, Tx * Ty * Tz, tx * ty * tz, _person_geom(cfg, tile),
+        PH=band_height, people_per_item=K, interpret=interpret,
+        hm_dtype=hm_dtype, out_dtype=hm_dtype)        # (P, T, J, S)
+
+    # two-launch v1: sampler + masked tri-plane collapse over the tiled
+    # tensor (the XLA relayout + three full reductions cost ~3.6 ms/frame
+    # at flagship shapes — see ops/pallas/collapse.py)
+    from fvp_tpu.ops.pallas.collapse import collapse_planes_pallas
+
     xy, xz, yz = collapse_planes_pallas(
         out, start, end, corner, (Tx, Ty, Tz, tx, ty, tz), J,
         interpret=interpret)

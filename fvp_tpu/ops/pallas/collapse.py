@@ -140,7 +140,15 @@ def collapse_planes_pallas(tiled: jax.Array, start: jax.Array,
     )(start.astype(jnp.int32), end.astype(jnp.int32),
       corner.astype(jnp.int32), tiled)
 
-    # within-tile axes finished in XLA on the 8x smaller partials
+    return finish_plane_partials(oxy, oxz, oyz, tdims)
+
+
+def finish_plane_partials(oxy, oxz, oyz, tdims):
+    """XLA epilogue shared with the fused v2 sampler
+    (ops/pallas/sampler.py::pallas_tiled_sample_project_collapse):
+    finish the small within-tile axes on the 8x-reduced partials."""
+    Tx, Ty, Tz, tx, ty, tz = tdims
+    P, _, _, J, _ = oxy.shape
     f32 = jnp.float32
     xy = jnp.max(oxy.astype(f32).reshape(P, Tx, Ty, J, tx, ty, tz),
                  axis=6)

@@ -299,6 +299,163 @@ def _sampler_project_kernel(valid_ref, corner_ref, cam_ref, occ_ref,
             out_ref[0, nt] = jnp.zeros((J, S), out_ref.dtype)
 
 
+def _sampler_project_collapse_kernel(valid_ref, corner_ref, cam_ref,
+                                     start_ref, end_ref, occ_ref, hm_ref,
+                                     oxy_ref, oxz_ref, oyz_ref,
+                                     xm_scr, xz_scr, yz_scr, *, num_views,
+                                     PH, NW, Wp, geom, K, tdims):
+    """Person-sampler v2: sampling + tri-plane max-collapse in ONE kernel.
+
+    Round-4's design-space analysis (NOTES_ROUND4.md) pinned the per-sample
+    matmul cost to Mosaic's alignment floors; the remaining exit it named
+    is producing the collapsed JLN planes without materializing the
+    (P, T, J, S) cube in HBM. This kernel does exactly that: grid
+    (P, Tx, Ty); each step projects+samples one full z-column of Tz tiles
+    (as _sampler_project_kernel would), applies the per-voxel bbox-crop
+    validity in-registers (same scalar math as ops/pallas/collapse.py),
+    and reduces the column straight into the three plane partials —
+    identical outputs to collapse_planes_pallas(pallas_tiled_sample_
+    project(...)), with the 8x-larger tiled tensor never leaving VMEM.
+    """
+    J = hm_ref.shape[2]
+    Hp = hm_ref.shape[3]
+    Tx, Ty, Tz, tx, ty, tz = tdims
+    S = tx * ty * tz
+    p = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    # T is C-ordered over (Tx, Ty, Tz): the z-column (i, j) is the NT=Tz
+    # consecutive tiles starting at (i*Ty + j)*Tz — exactly _step_coords'
+    # tile group i*Ty + j
+    step = _step_coords(corner_ref, cam_ref, p, i * Ty + j, NT=Tz, S=S,
+                        num_views=num_views, geom=geom)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    fx = corner_ref[p, 0] + i * tx + lane // (ty * tz)
+    fy = corner_ref[p, 1] + j * ty + (lane // tz) % ty
+    vxy = ((fx >= start_ref[p, 0]) & (fx < end_ref[p, 0])
+           & (fy >= start_ref[p, 1]) & (fy < end_ref[p, 1]))
+
+    for k in range(Tz):
+        valid = valid_ref[p, (i * Ty + j) * Tz + k] > 0
+        coords = [(sx[k:k + 1, :] + PAD, sy[k:k + 1, :] + PAD)
+                  for sx, sy in step]
+
+        fz = corner_ref[p, 2] + k * tz + lane % tz
+        vmask = (vxy & (fz >= start_ref[p, 2])
+                 & (fz < end_ref[p, 2])).astype(jnp.float32)
+
+        # tile skipping stays store-conditional (pl.when around a store is
+        # pipeline-friendly; a lax.cond VALUE carry is what sank the
+        # occupancy experiment — see _one_tile_from's note)
+        @pl.when(valid)
+        def _():
+            t = _one_tile_from(coords, hm_ref, num_views, PH, Hp, Wp, NW,
+                               J, S)
+            xm_scr[k] = (t * vmask).astype(xm_scr.dtype)
+
+        @pl.when(jnp.logical_not(valid))
+        def _():
+            xm_scr[k] = jnp.zeros((J, S), xm_scr.dtype)
+    xm = xm_scr[...]                                   # (Tz, J, S)
+
+    # ---- plane partials (identical scheme to ops/pallas/collapse.py) ----
+    oxy_ref[0, 0, 0] = jnp.max(xm, axis=0)             # (J, S)
+
+    @pl.when(j == 0)
+    def _():
+        xz_scr[...] = xm
+
+    @pl.when(j > 0)
+    def _():
+        xz_scr[...] = jnp.maximum(xz_scr[...], xm)
+
+    @pl.when(j == Ty - 1)
+    def _():
+        oxz_ref[0, 0] = xz_scr[...]
+
+    @pl.when(i == 0)
+    def _():
+        yz_scr[j] = xm
+
+    @pl.when(i > 0)
+    def _():
+        yz_scr[j] = jnp.maximum(yz_scr[j], xm)
+
+    @pl.when((i == Tx - 1) & (j == Ty - 1))
+    def _():
+        oyz_ref[0] = yz_scr[...]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("geom", "tdims", "PH", "people_per_item", "interpret",
+                     "hm_dtype", "out_dtype"))
+def pallas_tiled_sample_project_collapse(
+        padded_hm: jax.Array, corner: jax.Array, cam: jax.Array,
+        tile_valid: jax.Array, start: jax.Array, end: jax.Array,
+        geom: tuple, tdims, PH: int = 32, people_per_item: int = 1,
+        interpret: bool = False, hm_dtype=jnp.bfloat16,
+        out_dtype=jnp.bfloat16):
+    """Fused person-plane sampler: in-kernel projection + bilinear
+    sampling + masked tri-plane collapse, one launch, no (P, T, J, S)
+    HBM intermediate. Returns the collapse partials
+    (oxy (P, Tx, Ty, J, S), oxz (P, Tx, Tz, J, S), oyz (P, Ty, Tz, J, S))
+    — finish the within-tile axes with the same XLA epilogue as
+    collapse_planes_pallas."""
+    NB, V, J, Hp, Wp = padded_hm.shape
+    P = corner.shape[0]
+    Tx, Ty, Tz, tx, ty, tz = tdims
+    S = tx * ty * tz
+    assert P == NB * people_per_item
+    PH = min(PH, Hp)
+    K = people_per_item
+    hm_win, NW, _ = _window_heatmaps(padded_hm)
+    occ = jnp.zeros((NB, V, 1), jnp.int32)             # unused
+
+    kernel = functools.partial(
+        _sampler_project_collapse_kernel, num_views=V, PH=PH, NW=NW,
+        Wp=Wp, geom=geom, K=K, tdims=tdims)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(P, Tx, Ty),
+        in_specs=[
+            pl.BlockSpec((1, V, J, Hp, hm_win.shape[-1]),
+                         lambda p, i, j, *_: (p // K, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, J, S),
+                         lambda p, i, j, *_: (p, i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Tz, J, S),
+                         lambda p, i, j, *_: (p, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ty, Tz, J, S),
+                         lambda p, i, j, *_: (p, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Tz, J, S), jnp.dtype(out_dtype)),
+            pltpu.VMEM((Tz, J, S), jnp.dtype(out_dtype)),
+            pltpu.VMEM((Ty, Tz, J, S), jnp.dtype(out_dtype)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((P, Tx, Ty, J, S), out_dtype),
+            jax.ShapeDtypeStruct((P, Tx, Tz, J, S), out_dtype),
+            jax.ShapeDtypeStruct((P, Ty, Tz, J, S), out_dtype),
+        ],
+        interpret=interpret,
+    )(tile_valid.astype(jnp.int32), corner.astype(jnp.int32),
+      cam.astype(jnp.float32), start.astype(jnp.int32),
+      end.astype(jnp.int32), occ, hm_win.astype(hm_dtype))
+
+
 def _window_heatmaps(padded_hm: jax.Array):
     """(..., Hp, Wp) padded heatmaps -> (..., Hp, NW*128) x-windows.
 

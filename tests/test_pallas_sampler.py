@@ -202,3 +202,34 @@ def test_occupancy_gating_bitwise_and_skips(rng):
     bits = sum(bin(int(x)).count("1") for x in np.asarray(occ).ravel())
     total = occ.shape[-1] * 8 * np.prod(occ.shape[:2])
     assert bits / max(total, 1) < 0.6, (bits, total)
+
+
+def test_person_planes_fused_v2_matches_v1(rng):
+    """v2 single-launch sample+collapse (pallas_tiled_sample_project_
+    collapse) must reproduce the two-launch path bitwise, including dead
+    persons, bbox crops and partially-valid tiles."""
+    from fvp_tpu.ops.fast_sampling import sample_person_planes_pallas_batched
+
+    cfg = tiny_config(num_views=2, ind_voxels_per_axis=(16, 16, 16),
+                      max_people=3)
+    rig = random_rig(rng, num_views=2)
+    rc = build_rig_constants(cfg, rig)
+    w, h = cfg.heatmap_size
+    hm = jnp.asarray(rng.rand(2, 2, cfg.num_joints, h, w).astype(np.float32))
+    centers = jnp.asarray(np.stack([
+        rng.uniform(-2000, 2000, (2, 3)),
+        rng.uniform(-2500, 2000, (2, 3)),
+        rng.uniform(400, 1400, (2, 3)),
+    ], -1).astype(np.float32))
+    bbox = jnp.asarray(rng.uniform(0.3, 0.9, (2, 3, 2)).astype(np.float32))
+    mask = jnp.asarray(np.array([[True, True, False],
+                                 [True, False, True]]))
+
+    kw = dict(person_mask=mask, tile=(2, 2, 2), band_height=40,
+              interpret=True, hm_dtype=jnp.float32)
+    v1, off1 = sample_person_planes_pallas_batched(
+        hm, rc, cfg, centers, bbox, **kw)
+    v2, off2 = sample_person_planes_pallas_batched(
+        hm, rc, cfg, centers, bbox, fused=True, **kw)
+    np.testing.assert_array_equal(np.asarray(off1), np.asarray(off2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
