@@ -91,3 +91,25 @@ def test_scene_file_roundtrip(tmp_path):
     test_split = SyntheticDataset(cfg2, rig, seed=99, is_train=False)
     assert len(test_split.records) == 2
     assert test_split.has_evaluate_function
+
+
+def test_r5_arm_config_matches_protocol():
+    """The round-5 fvp arm (ab_cross_fvp_r5.yaml) must differ from the
+    pinned fvp arm ONLY in OUTPUT_DIR and the round-5 fidelity knobs
+    (ACCUMULATION_QUIRK, INIT_SCHEME) — the protocol numbers stay
+    identical."""
+    r5_yaml = os.path.join(REPO, "configs", "test", "ab_cross_fvp_r5.yaml")
+    with open(FVP_YAML) as f:
+        fvp = _flat(yaml.safe_load(f))
+    with open(r5_yaml) as f:
+        r5 = _flat(yaml.safe_load(f))
+
+    allowed = {("OUTPUT_DIR",), ("TRAIN", "ACCUMULATION_QUIRK"),
+               ("TRAIN", "INIT_SCHEME")}
+    for key in set(fvp) | set(r5):
+        if key in allowed:
+            continue
+        assert key in fvp and key in r5, f"key {key} missing from one arm"
+        assert fvp[key] == r5[key], f"protocol key {key} differs"
+    assert r5[("TRAIN", "ACCUMULATION_QUIRK")] is True
+    assert r5[("TRAIN", "INIT_SCHEME")] == "reference"
