@@ -104,10 +104,29 @@ class FasterVoxelPose(nn.Module):
 
     cfg: FVPConfig
     spatial_mesh: Optional[object] = None
+    # Latency-mode tail sharding: when set (a jax.sharding.Mesh), the JLN's
+    # per-person plane batch (3*B*K independent stacks) carries a GSPMD
+    # sharding constraint over ALL the mesh's devices, so P2PNet /
+    # soft-argmax / WeightNet parallelize instead of running replicated
+    # after the view psum — the Amdahl limiter of pure view sharding
+    # (docs/MULTIHOST_MODEL.md §3). Eval path only; persons are
+    # embarrassingly parallel (reference loops them sequentially,
+    # joint_localization_net.py:148).
+    jln_mesh: Optional[object] = None
 
     def _spatial_active(self) -> bool:
         from fvp_tpu.parallel.spatial import spatial_size
         return spatial_size(self.spatial_mesh) > 1
+
+    def _jln_shard(self, x):
+        """Constrain a (3*B*K, ...) per-person-stack tensor to split its
+        leading axis across every device of `jln_mesh`."""
+        if self.jln_mesh is None or self.is_initializing():
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+        spec = PartitionSpec(tuple(self.jln_mesh.axis_names))
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.jln_mesh, spec))
 
     def setup(self):
         dtype = jnp.dtype(self.cfg.compute_dtype)
@@ -262,6 +281,14 @@ class FasterVoxelPose(nn.Module):
             cubes, offsets = jax.vmap(
                 lambda h, c, b: sample_person_cubes(h, rc, cfg, c, b)
             )(heatmaps, centers, bbox)
+            if self.jln_mesh is not None and not self.is_initializing():
+                # persons over the mesh too: the cube sampling/collapse is
+                # the JLN's heaviest stage on the exact backend
+                from jax.sharding import NamedSharding, PartitionSpec
+                a0, a1 = self.jln_mesh.axis_names
+                cubes = jax.lax.with_sharding_constraint(
+                    cubes, NamedSharding(self.jln_mesh,
+                                         PartitionSpec(a0, a1)))
             planes = collapse_planes(
                 cubes.reshape(B * K, *cubes.shape[2:]))
         # planes: (3, BK, A, B, J); offsets: (B, K, 3)
@@ -299,7 +326,8 @@ class FasterVoxelPose(nn.Module):
                     coords.reshape(3, B, K, J, 2),
                     confs.reshape(B, K))
 
-        flat_planes = planes.reshape(3 * B * K, *planes.shape[2:])
+        flat_planes = self._jln_shard(
+            planes.reshape(3 * B * K, *planes.shape[2:]))
         from fvp_tpu.ops.pallas.hourglass import hourglass_supported
         if (cfg.fuse_p2p and pallas and not train
                 and not self.is_initializing()
@@ -318,6 +346,7 @@ class FasterVoxelPose(nn.Module):
                     "packed", {}).get("fused"))
         else:
             feats = self.p2p_net(flat_planes, train)
+        feats = self._jln_shard(feats)
         feats3 = feats.reshape(3, B * K, nx, nx, J)
 
         if pallas and not train:
@@ -341,7 +370,8 @@ class FasterVoxelPose(nn.Module):
         ])
 
         weights = self.weight_net(
-            feats3.reshape(3 * B * K, nx, nx, J), train)     # (3BK, J, 1)
+            self._jln_shard(feats3.reshape(3 * B * K, nx, nx, J)),
+            train)                                           # (3BK, J, 1)
         weights = weights.reshape(3, B * K, J, 1)
         fused = self._fuse(coords, weights)                  # (BK, J, 3)
 

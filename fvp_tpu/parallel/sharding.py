@@ -60,6 +60,11 @@ def make_sharded_train_step(cfg: FVPConfig, model: FasterVoxelPose,
 
 def make_sharded_eval_step(cfg: FVPConfig, model: FasterVoxelPose,
                            mesh: Mesh, backbone=None, backbone_vars=None):
+    # latency-mode tail sharding: split the JLN per-person stacks over all
+    # mesh devices (see FasterVoxelPose.jln_mesh) — pure view sharding
+    # leaves the whole post-psum tail replicated (Amdahl,
+    # docs/MULTIHOST_MODEL.md §3/§4)
+    model = model.clone(jln_mesh=mesh)
     repl = NamedSharding(mesh, P())
     in_shard = NamedSharding(mesh, P("data", "view"))
 
